@@ -1,0 +1,115 @@
+"""Bar/beat grid computation (counterpart of scoreperformer/data/midi/beats.py)."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .containers import MidiScore, TimeSigMap
+
+# compound meters: numerator -> beats per bar (beats.py:6-12)
+BEATS_IN_BARS = {6: 2, 9: 3, 18: 3, 12: 4, 24: 4}
+
+
+def get_ticks_per_bar(numerator: int, denominator: int, ticks_per_beat: int = 480) -> int:
+    return ticks_per_beat * 4 * numerator // denominator
+
+
+def get_inter_beat_interval(
+    numerator: int,
+    denominator: int,
+    ticks_per_bar: Optional[int] = None,
+    ticks_per_beat: int = 480,
+) -> int:
+    if ticks_per_bar is None:
+        ticks_per_bar = get_ticks_per_bar(numerator, denominator, ticks_per_beat)
+    num_beats_in_bar = BEATS_IN_BARS.get(int(numerator), int(numerator))
+    return int(ticks_per_bar / num_beats_in_bar)
+
+
+def get_bar_beat_ticks(
+    midi: Optional[MidiScore] = None,
+    *,
+    time_sigs: Optional[TimeSigMap] = None,
+    ticks_per_beat: Optional[int] = None,
+    max_tick: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tick positions of every bar line and beat (beats.py:34-65)."""
+    if midi is not None:
+        time_sigs = midi.time_sigs
+        ticks_per_beat = midi.ticks_per_beat
+        max_tick = midi.max_tick - 1
+
+    bar_ticks, beat_ticks = [], []
+    n = len(time_sigs)
+    for i in range(n):
+        last_tick = int(time_sigs.time[i + 1]) if i < n - 1 else int(max_tick)
+        num = int(time_sigs.numerator[i])
+        den = int(time_sigs.denominator[i])
+        start = int(time_sigs.time[i])
+        ticks_per_bar = get_ticks_per_bar(num, den, ticks_per_beat)
+        bar_ticks.append(np.arange(start, last_tick, ticks_per_bar))
+        ibi = get_inter_beat_interval(num, den, ticks_per_bar, ticks_per_beat)
+        beat_ticks.append(np.arange(start, last_tick, ibi))
+
+    return np.concatenate(bar_ticks), np.concatenate(beat_ticks)
+
+
+def get_performance_beats(
+    score_beats: np.ndarray,
+    position_pairs: np.ndarray,
+    max_tick: Optional[int] = None,
+    max_time: Optional[float] = None,
+    monotonic_times: bool = False,
+    ticks_per_beat: int = 480,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Map score beat ticks to performance times by interpolating onset pairs
+    (beats.py:68-119). ``position_pairs`` is an (N, 2) array of
+    (score_tick, perf_time)."""
+    position_pairs = np.asarray(position_pairs, dtype=np.float64)
+
+    if monotonic_times:
+        mono = [position_pairs[0]]
+        cur_pair = prev_pair = position_pairs[0]
+        for pair in position_pairs[1:]:
+            min_shift_time = (pair[0] - cur_pair[0]) / ticks_per_beat / 10  # tempo 600
+            if (
+                pair[0] != prev_pair[0]
+                and pair[1] > prev_pair[1]
+                and pair[1] > cur_pair[1] + min_shift_time
+            ):
+                mono.append(pair)
+                cur_pair = pair
+            prev_pair = pair
+        position_pairs = np.array(mono)
+
+    score_beats = np.asarray(score_beats, dtype=np.float64)
+    if max_tick is not None and max_time is not None:
+        position_pairs = np.concatenate([position_pairs, [(max_tick, max_time)]])
+        score_beats = np.concatenate([score_beats, [max_tick]])
+
+    onset_ticks, perf_times = position_pairs[:, 0], position_pairs[:, 1]
+    idx = np.minimum(len(onset_ticks) - 1, np.searchsorted(onset_ticks, score_beats))
+
+    exact = onset_ticks[idx] == score_beats
+    # interpolation indices: shift to 1 where idx==0 or first beat
+    interp_idx = idx.copy()
+    interp_idx[(np.arange(len(score_beats)) == 0) | (interp_idx == 0)] += 1
+    interp_idx = np.minimum(interp_idx, len(onset_ticks) - 1)
+
+    left_tick = onset_ticks[interp_idx - 1]
+    right_tick = onset_ticks[interp_idx]
+    left_time = perf_times[interp_idx - 1]
+    right_time = perf_times[interp_idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        interp = left_time + (right_time - left_time) * (score_beats - left_tick) / (
+            right_tick - left_tick
+        )
+    perf_beats = np.where(exact, perf_times[idx], interp)
+
+    if max_tick is not None and max_time is not None:
+        if len(score_beats) >= 2 and score_beats[-2] == score_beats[-1]:
+            score_beats = score_beats[:-1]
+            perf_beats = perf_beats[:-1]
+
+    return score_beats, perf_beats
