@@ -30,6 +30,8 @@ def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
 
 
 def _write_varlen(value: int) -> bytes:
+    if value < 0:
+        raise ValueError(f"cannot encode negative varlen value {value}")
     chunks = [value & 0x7F]
     value >>= 7
     while value:
@@ -255,8 +257,10 @@ def write_midi(score: MidiScore, path=None) -> bytes:
         for i in range(len(notes)):
             pitch = int(notes.pitch[i]) & 0x7F
             velocity = int(notes.velocity[i]) & 0x7F
-            events.append((int(notes.start[i]), 1, bytes([0x90 | channel, pitch, velocity])))
-            events.append((int(notes.end[i]), 0, bytes([0x80 | channel, pitch, 64])))
+            start = max(0, int(notes.start[i]))
+            end = max(start, int(notes.end[i]))
+            events.append((start, 1, bytes([0x90 | channel, pitch, velocity])))
+            events.append((end, 0, bytes([0x80 | channel, pitch, 64])))
         for i in range(len(track.control_changes)):
             t, num, val = (int(x) for x in track.control_changes[i])
             events.append((t, 1, bytes([0xB0 | channel, num & 0x7F, val & 0x7F])))

@@ -1,0 +1,269 @@
+import json
+
+import numpy as np
+import pytest
+
+from scoreperformer_tpu.midi import MidiScore, NoteArray, TempoMap, TimeSigMap, Track
+from scoreperformer_tpu.tokenizers import (
+    OctupleM,
+    SPMupleWindow,
+    TokenizerConfig,
+    TokSequence,
+    load_tokenizer,
+)
+
+REF_WINDOW_JSON = "/root/reference/data/tokenizers/spmuple_window.json"
+REF_ONSET_JSON = "/root/reference/data/tokenizers/spmuple_onset.json"
+
+
+def make_midi(note_tuples, tempos=None, time_sigs=None, tpb=480, velocity=80):
+    midi = MidiScore(ticks_per_beat=tpb)
+    tuples = [
+        (t[0], t[1] if len(t) > 3 else velocity, t[-2], t[-1]) if len(t) == 4 else (t[0], velocity, t[1], t[2])
+        for t in note_tuples
+    ]
+    midi.tracks.append(Track(notes=NoteArray.from_tuples(tuples)))
+    if tempos is not None:
+        midi.tempos = TempoMap([t for t, _ in tempos], [b for _, b in tempos])
+    if time_sigs is not None:
+        midi.time_sigs = time_sigs
+    midi.recompute_max_tick()
+    return midi
+
+
+def simple_score(tpb=480, n_bars=2, velocity=80):
+    """n_bars of 4/4 quarter notes with a chord on every downbeat."""
+    notes = []
+    for bar in range(n_bars):
+        for beat in range(4):
+            start = (bar * 4 + beat) * tpb
+            notes.append((60 + beat, velocity, start, start + tpb))
+            if beat == 0:
+                notes.append((48, velocity, start, start + tpb))
+    return make_midi(notes, tempos=[(0, 120.0)], tpb=tpb)
+
+
+class TestVocabGolden:
+    def test_window_config_vocab_sizes(self):
+        tok = load_tokenizer(REF_WINDOW_JSON)
+        assert type(tok).__name__ == "SPMupleWindow"
+        sizes = tok.sizes
+        assert sizes["Bar"] == 260
+        assert sizes["Position"] == 132
+        assert sizes["Pitch"] == 92
+        assert sizes["Velocity"] == 132
+        assert sizes["Duration"] == 133
+        assert sizes["Tempo"] == 125
+        assert sizes["TimeSig"] == 26
+        assert sizes["NotesInOnset"] == 16
+        assert sizes["PositionInOnset"] == 16
+        assert sizes["RelOnsetDev"] == 165
+        assert sizes["RelPerfDuration"] == 85
+        assert tok.zero_token == 4
+
+    def test_onset_config_ships_explicit_bins(self):
+        tok = load_tokenizer(REF_ONSET_JSON)
+        golden = json.load(open(REF_ONSET_JSON))["config"]["additional_params"]["token_bins"]
+        assert np.allclose(tok.rel_onset_deviations, golden["rel_onset_deviations"])
+        assert np.allclose(tok.rel_performed_durations, golden["rel_performed_durations"])
+
+    def test_computed_bins_match_shipped(self):
+        # window config ships no bins; computed v2 bins must equal the ONSET
+        # golden (same heuristic/params)
+        tok = load_tokenizer(REF_WINDOW_JSON)
+        golden = json.load(open(REF_ONSET_JSON))["config"]["additional_params"]["token_bins"]
+        assert np.allclose(tok.rel_onset_deviations, golden["rel_onset_deviations"])
+        assert np.allclose(tok.rel_performed_durations, golden["rel_performed_durations"])
+
+    def test_token_values_shapes(self):
+        tok = load_tokenizer(REF_WINDOW_JSON)
+        values = tok.token_values(normalize=True)
+        for key, sz in tok.sizes.items():
+            if key == "Bar":
+                continue  # Bar values use max_bar_embedding, sizes may differ
+            assert len(values[key]) == sz, key
+        # normalized tempo is log2 ratio: first real tempo -> 0
+        assert values["Tempo"][tok.zero_token] == 0.0
+
+
+class TestOctupleM:
+    def test_score_roundtrip(self):
+        tok = OctupleM(TokenizerConfig(additional_params={"max_bar_embedding": 16}))
+        midi = simple_score()
+        seq = tok.midi_to_tokens(midi.copy())
+        assert seq.ids.shape == (10, 7)
+
+        decoded = tok.tokens_to_midi(seq)
+        src = simple_score().tracks[0].notes.sort("time")
+        out = decoded.tracks[0].notes.sort("time")
+        assert out.pitch.tolist() == src.pitch.tolist()
+        assert out.start.tolist() == src.start.tolist()
+        assert out.end.tolist() == src.end.tolist()
+        assert out.velocity.tolist() == src.velocity.tolist()
+        assert np.allclose(decoded.tempos.tempo, 120.0)  # 120 is an exact geomspace bin
+
+    def test_bar_position_streams(self):
+        tok = OctupleM(TokenizerConfig(additional_params={"max_bar_embedding": 16}))
+        midi = simple_score()
+        seq = tok.midi_to_tokens(midi)
+        bars = seq.ids[:, tok.types_idx["Bar"]] - tok.zero_token
+        pos = seq.ids[:, tok.types_idx["Position"]] - tok.zero_token
+        # 5 notes in bar 0 (incl chord), 5 in bar 1
+        assert bars.tolist() == [0] * 5 + [1] * 5
+        # positions: two notes at 0, then 16, 32, 48 (max_beat_res=16 samples/beat)
+        assert pos.tolist() == [0, 0, 16, 32, 48] * 2
+
+    def test_time_signature_change(self):
+        # 1 bar of 4/4 then 3/4
+        notes = [(60, 80, 0, 480), (62, 80, 1920, 2400), (64, 80, 1920 + 1440, 1920 + 1440 + 480)]
+        midi = make_midi(notes, tempos=[(0, 120.0)])
+        midi.time_sigs = TimeSigMap([0, 1920], [4, 3], [4, 4])
+        tok = OctupleM(TokenizerConfig(additional_params={"max_bar_embedding": 16}))
+        seq = tok.midi_to_tokens(midi)
+        bars = seq.ids[:, tok.types_idx["Bar"]] - tok.zero_token
+        assert bars.tolist() == [0, 1, 2]  # bar 2 starts 1440 ticks after bar 1
+
+        ticks = tok.compute_ticks(seq.ids, 480, compute_beat_ticks=True)
+        assert ticks["note_on"].tolist() == [0, 1920, 3360]
+        assert ticks["bar"][:3].tolist() == [0, 1920, 3360]
+
+    def test_grow_bar_vocab(self):
+        tok = OctupleM(TokenizerConfig(additional_params={"max_bar_embedding": 4}))
+        midi = simple_score(n_bars=8)
+        seq = tok.midi_to_tokens(midi)
+        assert tok.vocab.real_max_bar_embedding >= 8
+        assert tok.sizes["Bar"] == 4 + 4  # model-facing size stays max_bar_embedding
+
+    def test_velocity_zero_is_unperformed(self):
+        midi = simple_score(velocity=0)
+        tok = OctupleM(TokenizerConfig(additional_params={"max_bar_embedding": 16}))
+        seq = tok.midi_to_tokens(midi)
+        vel = seq.ids[:, tok.types_idx["Velocity"]]
+        assert (vel == tok.zero_token).all()
+
+
+class TestSPMupleWindow:
+    @pytest.fixture(scope="class")
+    def tok(self):
+        return load_tokenizer(REF_WINDOW_JSON)
+
+    def make_performance(self, score, jitter_ticks=0, tempo=120.0, tpb=480):
+        """Performance MIDI with the same notes as the (preprocessed) score."""
+        rng = np.random.RandomState(0)
+        notes = score.tracks[0].notes
+        starts = notes.start.copy()
+        if jitter_ticks:
+            starts = starts + rng.randint(-jitter_ticks, jitter_ticks + 1, len(starts))
+            starts = np.maximum(starts, 0)
+        perf = MidiScore(ticks_per_beat=tpb)
+        perf.tracks.append(
+            Track(
+                notes=NoteArray(
+                    pitch=notes.pitch.copy(),
+                    velocity=notes.velocity.copy(),
+                    start=starts,
+                    end=starts + notes.duration,
+                )
+            )
+        )
+        perf.tempos = TempoMap([0], [tempo])
+        perf.recompute_max_tick()
+        return perf
+
+    def test_score_tokens_have_extra_streams(self, tok):
+        midi = simple_score(n_bars=4)
+        seq = tok.score_midi_to_tokens(midi)
+        assert seq.ids.shape[1] == 10  # 7 base + PositionShift + NotesInOnset + PositionInOnset
+        nio = seq.ids[:, tok.types_idx["NotesInOnset"]] - tok.zero_token
+        # chord onsets have 2 notes -> value 2 -> index 1
+        assert nio.max() == 1
+        pio = seq.ids[:, tok.types_idx["PositionInOnset"]] - tok.zero_token
+        assert pio.max() == 1 and pio.min() == 0
+
+    def test_deadpan_roundtrip(self, tok):
+        score = simple_score(n_bars=4)
+        seq = tok.score_midi_to_tokens(score)
+        perf_seq = tok.score_tokens_as_performance(seq)
+        assert perf_seq.ids.shape[1] == 12
+        # deadpan: zero onset dev and unit duration bins
+        dev_vals = tok.decode_token_type(perf_seq.ids, "RelOnsetDev")
+        dur_vals = tok.decode_token_type(perf_seq.ids, "RelPerfDuration")
+        assert np.all(dev_vals == 0.0)
+        assert np.all(dur_vals == 1.0)
+
+    def test_performance_encode_constant_tempo(self, tok):
+        score = simple_score(n_bars=4)
+        score_seq = tok.score_midi_to_tokens(score)
+        perf = self.make_performance(score, jitter_ticks=0, tempo=120.0)
+        perf_seq = tok.performance_midi_to_tokens(perf, score_seq)
+
+        assert perf_seq.ids.shape == (score_seq.ids.shape[0], 12)
+        # constant deadpan timing at 120bpm -> initial tempo ~ 120
+        assert abs(perf_seq.meta["initial_tempo"] - 120.0) < 2.0
+        tempos = tok.decode_token_type(perf_seq.ids, "Tempo")
+        assert np.all(np.abs(tempos - 120.0) < 2.5)
+        # deviations should all be ~0
+        devs = tok.decode_token_type(perf_seq.ids, "RelOnsetDev")
+        assert np.all(np.abs(devs) < 0.01)
+
+    def test_performance_decode_roundtrip(self, tok):
+        score = simple_score(n_bars=4)
+        score_seq = tok.score_midi_to_tokens(score)
+        perf = self.make_performance(score, jitter_ticks=20, tempo=110.0)
+        perf_starts_sec = perf.tracks[0].notes.start / perf.ticks_per_beat / 110.0 * 60.0
+
+        perf_seq = tok.performance_midi_to_tokens(perf, score_seq)
+        decoded = tok.performance_tokens_to_midi(perf_seq)
+        assert decoded is not None
+
+        # decoded notes (after re-grid) should match the original performance
+        # times up to quantization + grid error
+        dec_notes = decoded.tracks[0].notes.sort("time")
+        from scoreperformer_tpu.midi import tick_to_time_map
+
+        ttt = tick_to_time_map(decoded.tempos, decoded.max_tick, decoded.ticks_per_beat)
+        dec_times = ttt[np.minimum(dec_notes.start, len(ttt) - 1)]
+        src_order = np.argsort(perf_starts_sec, kind="stable")
+        src_times = np.sort(perf_starts_sec - perf_starts_sec.min())
+        assert len(dec_times) == len(src_times)
+        assert np.abs(np.diff(dec_times) - np.diff(np.sort(src_times))).max() < 0.06
+
+    def test_unperformed_notes_zero_dev(self, tok):
+        score = simple_score(n_bars=4)
+        score_seq = tok.score_midi_to_tokens(score)
+        perf = self.make_performance(score, tempo=120.0)
+        # silence notes 3..5
+        perf.tracks[0].notes.velocity[3:6] = 0
+        perf_seq = tok.performance_midi_to_tokens(perf, score_seq)
+        devs = tok.decode_token_type(perf_seq.ids, "RelOnsetDev")
+        durs = tok.decode_token_type(perf_seq.ids, "RelPerfDuration")
+        vel = perf_seq.ids[:, tok.types_idx["Velocity"]]
+        unperformed = vel == tok.zero_token
+        assert unperformed.sum() == 3
+        assert np.all(devs[unperformed] == 0.0)
+        assert np.all(durs[unperformed] == 1.0)
+
+
+class TestSPMupleV1:
+    def test_beat_preset_roundtrip(self):
+        from scoreperformer_tpu.tokenizers import SPMupleBeat
+
+        tok = SPMupleBeat(TokenizerConfig(additional_params={"max_bar_embedding": 16}))
+        score = simple_score(n_bars=2)
+        score_seq = tok.score_midi_to_tokens(score)
+        assert "RelOnsetDev" in tok.token_types
+
+        perf = MidiScore(ticks_per_beat=480)
+        notes = score.tracks[0].notes
+        perf.tracks.append(Track(notes=notes.copy()))
+        perf.tempos = TempoMap([0], [100.0])
+        perf.recompute_max_tick()
+
+        perf_seq = tok.performance_midi_to_tokens(perf, score_seq)
+        assert perf_seq.ids.shape[1] == len(tok.token_types)
+        devs = tok.decode_token_type(perf_seq.ids, "RelOnsetDev")
+        assert np.all(np.abs(devs) < 1e-6)
+
+        midi = tok.performance_tokens_to_midi(perf_seq)
+        out = midi.tracks[0].notes.sort("time")
+        assert out.start.tolist() == sorted(notes.start.tolist())
