@@ -1,0 +1,170 @@
+"""Multi-head attention with ALiBi, MQA, and a static-shape KV cache.
+
+Counterpart of scoreperformer/modules/transformer/{attention.py, attend.py},
+re-designed for XLA: instead of growing the KV cache by concatenation per step
+(reference attention.py:155-156), the cache is a fixed-size buffer written at
+`cache_index` with `lax.dynamic_update_slice`, so autoregressive decode
+compiles once and runs inside `lax.scan`/`while_loop` without reshapes.
+Softmax runs in fp32 (reference attend.py:50) for bf16-safe training.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ALiBiPositionalBias
+
+MASK_VALUE = -1e9
+
+
+def init_kv_cache(
+    batch: int, max_len: int, kv_dim: int, dtype=jnp.float32
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-size cache buffer for one attention layer."""
+    return {
+        "k": jnp.zeros((batch, max_len, kv_dim), dtype),
+        "v": jnp.zeros((batch, max_len, kv_dim), dtype),
+    }
+
+
+class Attention(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    dropout: float = 0.0
+    one_kv_head: bool = False
+    max_attend: Optional[int] = None
+    alibi_pos_bias: bool = False
+    alibi_num_heads: Optional[int] = None
+    alibi_symmetric: bool = True
+    alibi_learned: bool = False
+
+    def setup(self):
+        q_dim = self.dim_head * self.heads
+        kv_dim = self.dim_head if self.one_kv_head else q_dim
+        self.to_q = nn.Dense(q_dim, use_bias=False, name="to_q")
+        self.to_k = nn.Dense(kv_dim, use_bias=False, name="to_k")
+        self.to_v = nn.Dense(kv_dim, use_bias=False, name="to_v")
+        self.to_out = nn.Dense(self.dim, use_bias=False, name="to_out")
+        self.attn_dropout = nn.Dropout(self.dropout) if self.dropout > 0.0 else None
+
+        if self.alibi_pos_bias:
+            self.rel_pos = ALiBiPositionalBias(
+                heads=self.alibi_num_heads or self.heads,
+                total_heads=self.heads,
+                symmetric=self.alibi_symmetric or self.causal,
+                learned=self.alibi_learned,
+            )
+        else:
+            self.rel_pos = None
+
+    @property
+    def kv_dim(self) -> int:
+        return self.dim_head if self.one_kv_head else self.dim_head * self.heads
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        context_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict[str, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+        """Returns (out, updated_cache).
+
+        Without a cache: standard full attention over `x` (or cross-attention
+        over `context`). With a cache: keys/values of `x` are written at
+        positions [cache_index, cache_index + n) and queries attend over the
+        whole buffer masked to the written prefix.
+        """
+        b, n = x.shape[:2]
+        h, d = self.heads, self.dim_head
+        scale = d**-0.5
+
+        kv_input = context if context is not None else x
+        q = self.to_q(x)
+        k = self.to_k(kv_input)
+        v = self.to_v(kv_input)
+
+        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)  # b h n d
+
+        has_cache = cache is not None
+        if has_cache:
+            assert context is None, "cache is not compatible with cross-attention"
+            idx = cache_index if cache_index is not None else 0
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0))
+            new_cache = {"k": k, "v": v}
+            j = k.shape[1]
+            pos_q = idx + jnp.arange(n)
+            key_valid = jnp.arange(j) < (idx + n)  # only written prefix
+        else:
+            new_cache = None
+            j = k.shape[1]
+            pos_q = (j - n) + jnp.arange(n) if context is None else jnp.arange(n)
+            key_valid = None
+
+        if self.one_kv_head:
+            k_h = k[:, None]  # b 1 j d
+            v_h = v[:, None]
+        else:
+            k_h = k.reshape(b, j, h, d).transpose(0, 2, 1, 3)
+            v_h = v.reshape(b, j, h, d).transpose(0, 2, 1, 3)
+
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k_h) * scale
+
+        # --- additive bias: ALiBi ---
+        if self.rel_pos is not None:
+            bias = self.rel_pos(n, j, pos_i=pos_q)  # (h, n, j)
+            dots = dots + bias[None].astype(dots.dtype)
+
+        # --- masks (composed as in attention.py:160-186) ---
+        neg = jnp.asarray(MASK_VALUE, dots.dtype)
+        input_mask = context_mask if (context is not None and context_mask is not None) else mask
+        if context is None and mask is not None:
+            input_mask = mask
+        if has_cache and input_mask is not None and input_mask.shape[1] != j:
+            # the caller provides a mask over the cache buffer length
+            input_mask = input_mask
+        if input_mask is not None:
+            dots = jnp.where(input_mask[:, None, None, :], dots, neg)
+
+        if attn_mask is not None:
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None, None]
+            elif attn_mask.ndim == 3:
+                attn_mask = attn_mask[:, None]
+            dots = jnp.where(attn_mask, dots, neg)
+
+        if self.max_attend is not None:
+            dist = pos_q[:, None] - jnp.arange(j)[None, :]
+            window_ok = (-self.max_attend < dist) & (dist <= self.max_attend)
+            dots = jnp.where(window_ok[None, None], dots, neg)
+
+        if self.causal:
+            causal_ok = jnp.arange(j)[None, :] <= pos_q[:, None]
+            dots = jnp.where(causal_ok[None, None], dots, neg)
+
+        if key_valid is not None:
+            dots = jnp.where(key_valid[None, None, None, :], dots, neg)
+
+        # --- softmax in fp32 (attend.py:50) ---
+        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(dots.dtype)
+        if self.attn_dropout is not None:
+            attn = self.attn_dropout(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v_h)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        out = self.to_out(out)
+
+        if mask is not None and not has_cache:
+            out = out * mask[..., None]
+
+        return out, new_cache

@@ -1,0 +1,263 @@
+"""Functional decode loops: autoregressive generation and MixedLM unmasking.
+
+Counterpart of scoreperformer/models/scoreperformer/wrappers.py:200-431,
+re-designed for XLA: the reference iterates a Python loop with one forward per
+token and concat-grown caches; here the whole loop is a `lax.scan` over a
+static-shape KV cache, compiled once.
+
+Reference decode alignment notes (replicated exactly for parity):
+- ARWrapper.generate feeds `x[:, :-1]` through the CLM shift (wrappers.py:236,
+  290-307), so the sample appended at position L conditions on tokens
+  [0, L-2] and the style/context of position L-1.
+- MixedLM unmask at position idx consumes token idx-1 (already unmasked) and
+  predicts idx (wrappers.py:352-360, 409-431).
+- per-stream constraints (wrappers.py:246-258): Bar is monotonically
+  non-decreasing, Tempo copies forward within the same bar, TimeSig always
+  copies forward; PAD/MASK logits are suppressed.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import top_k
+
+NEG_INF = -1e9
+
+
+def _sample_stream(rng, logits, temperature, filter_fn, filter_kwargs, greedy):
+    if greedy:
+        return jnp.argmax(logits, axis=-1)
+    filtered = filter_fn(logits, **(filter_kwargs or {}))
+    return jax.random.categorical(rng, filtered / temperature, axis=-1)
+
+
+def make_decode_step(model, variables):
+    """Returns step(seq_tokens, masked_tokens, style, context, caches, idx) →
+    (hidden, caches) over the model's perf decoder."""
+
+    def step(seq_tokens, masked_tokens, style_embeddings, context, caches, cache_index):
+        out = model.apply(
+            variables,
+            seq_tokens,
+            masked_tokens=masked_tokens,
+            style_embeddings=style_embeddings,
+            context=context,
+            caches=caches,
+            cache_index=cache_index,
+            method="decode_step",
+        )
+        return out.hidden_state, out.caches
+
+    return step
+
+
+def make_lm_head(model, variables):
+    def head(hidden):
+        return model.apply(
+            variables,
+            hidden,
+            method=lambda m, h: m.perf_decoder.apply_lm_head(h),
+        )
+
+    return head
+
+
+def mixedlm_unmask(
+    model,
+    variables,
+    tokens: jnp.ndarray,
+    tokens_masked: jnp.ndarray,
+    rng: jax.Array,
+    style_embeddings: Optional[jnp.ndarray] = None,
+    context: Optional[jnp.ndarray] = None,
+    valid_len: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    filter_fn: Callable = top_k,
+    filter_kwargs: Optional[Dict] = None,
+    greedy: bool = False,
+    mask_token_id: int = 1,
+    pad_token_id: int = 0,
+    forbid_ids: Optional[Dict[int, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
+
+    `tokens` is (b, T, S) with MASK at the positions/streams to predict;
+    `tokens_masked` is the fully-masked parallel stream. Returns tokens with
+    masks filled. Positions >= valid_len are left untouched.
+    """
+    b, T, S = tokens.shape
+    decode_step = make_decode_step(model, variables)
+    lm_head = make_lm_head(model, variables)
+
+    caches = model.apply(
+        variables, b, T, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt)
+    )
+
+    unmask_mask = tokens == mask_token_id
+    if valid_len is None:
+        valid_len = jnp.full((b,), T, dtype=jnp.int32)
+
+    def body(carry, j):
+        tokens, caches, rng = carry
+        rng, step_rng = jax.random.split(rng)
+
+        # consume token j (already final), predict j+1
+        seq_j = jax.lax.dynamic_slice_in_dim(tokens, j, 1, axis=1)
+        masked_j = jax.lax.dynamic_slice_in_dim(tokens_masked, j + 1, 1, axis=1)
+        style_j = (
+            jax.lax.dynamic_slice_in_dim(style_embeddings, j + 1, 1, axis=1)
+            if style_embeddings is not None
+            else None
+        )
+        context_j = (
+            jax.lax.dynamic_slice_in_dim(context, j + 1, 1, axis=1)
+            if context is not None
+            else None
+        )
+
+        hidden, caches = decode_step(seq_j, masked_j, style_j, context_j, caches, j)
+        logits = lm_head(hidden[:, 0])  # dict of (b, V_s)
+
+        new_vals = []
+        rngs = jax.random.split(step_rng, S)
+        for s, (key, lg) in enumerate(logits.items()):
+            lg = lg.at[:, pad_token_id].set(NEG_INF).at[:, mask_token_id].set(NEG_INF)
+            if forbid_ids and s in forbid_ids:
+                lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
+            new_vals.append(
+                _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
+            )
+        samples = jnp.stack(new_vals, axis=-1)  # (b, S)
+
+        target = jax.lax.dynamic_slice_in_dim(tokens, j + 1, 1, axis=1)[:, 0]
+        was_masked = jax.lax.dynamic_slice_in_dim(unmask_mask, j + 1, 1, axis=1)[:, 0]
+        in_range = (j + 1) < valid_len
+        fill = was_masked & in_range[:, None]
+        updated = jnp.where(fill, samples, target)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, updated[:, None], j + 1, axis=1)
+        return (tokens, caches, rng), None
+
+    (tokens, _, _), _ = jax.lax.scan(body, (tokens, caches, rng), jnp.arange(T - 1))
+    return tokens
+
+
+def ar_generate(
+    model,
+    variables,
+    start_tokens: jnp.ndarray,
+    seq_len: int,
+    rng: jax.Array,
+    style_embeddings: Optional[jnp.ndarray] = None,
+    context: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    filter_fn: Callable = top_k,
+    filter_kwargs: Optional[Dict] = None,
+    greedy: bool = False,
+    stream_names: Optional[List[str]] = None,
+    fix_errors: bool = True,
+    eos_token_id: int = 3,
+    pad_token_id: int = 0,
+    max_bar: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Autoregressive generation with per-stream constraints.
+
+    Returns (generated (b, seq_len - t0, S), num_generated (b,)). After EOS
+    (Bar stream), remaining positions are PAD.
+    """
+    b, t0, S = start_tokens.shape
+    stream_names = stream_names or [str(i) for i in range(S)]
+    name_to_idx = {n: i for i, n in enumerate(stream_names)}
+    bar_idx = name_to_idx.get("Bar", 0)
+
+    decode_step = make_decode_step(model, variables)
+    lm_head = make_lm_head(model, variables)
+
+    total = seq_len + 1  # cache capacity
+    caches = model.apply(
+        variables, b, total, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt)
+    )
+
+    # sequence buffer: start tokens + zeros
+    buf = jnp.zeros((b, total, S), dtype=start_tokens.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, start_tokens, (0, 0, 0))
+
+    # prefill with tokens [0, t0-2]; the reference CLM shift never consumes
+    # the latest token (wrappers.py:236 + 290-307)
+    if t0 > 1:
+        prefix = start_tokens[:, : t0 - 1]
+        style_p = style_embeddings[:, 1:t0] if style_embeddings is not None else None
+        ctx_p = context[:, 1:t0] if context is not None else None
+        _, caches = decode_step(prefix, None, style_p, ctx_p, caches, 0)
+
+    num_steps = seq_len + 1 - t0
+
+    def body(carry, k):
+        buf, caches, rng, done = carry
+        rng, step_rng = jax.random.split(rng)
+
+        L = t0 + k  # current length; consume token L-2, predict position L
+        consume_idx = L - 2
+        seq_j = jax.lax.dynamic_slice_in_dim(buf, consume_idx, 1, axis=1)
+        style_j = (
+            jax.lax.dynamic_slice_in_dim(style_embeddings, consume_idx + 1, 1, axis=1)
+            if style_embeddings is not None
+            else None
+        )
+        ctx_j = (
+            jax.lax.dynamic_slice_in_dim(context, consume_idx + 1, 1, axis=1)
+            if context is not None
+            else None
+        )
+        hidden, caches = decode_step(seq_j, None, style_j, ctx_j, caches, consume_idx)
+        logits = lm_head(hidden[:, 0])
+
+        last = jax.lax.dynamic_slice_in_dim(buf, L - 1, 1, axis=1)[:, 0]  # (b, S)
+        last_bar = last[:, bar_idx]
+
+        rngs = jax.random.split(step_rng, S)
+        samples = {}
+        for s, (key, lg) in enumerate(logits.items()):
+            name = stream_names[s] if s < len(stream_names) else key
+            if fix_errors and name == "Bar":
+                v = jnp.arange(lg.shape[-1])
+                forbid = (v[None, :] >= 4) & (v[None, :] < last_bar[:, None])
+                lg = jnp.where(forbid, NEG_INF, lg)
+            lg = lg.at[:, :2].set(NEG_INF)
+            sampled = _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
+            if fix_errors:
+                same_bar = samples.get("Bar", last_bar) == last_bar
+                if name == "Tempo":
+                    sampled = jnp.where(same_bar, last[:, s], sampled)
+                elif name == "TimeSig":
+                    sampled = last[:, s]
+            samples[name] = sampled
+
+        new_token = jnp.stack([samples[n] for n in stream_names], axis=-1)  # (b, S)
+
+        is_eos = new_token[:, bar_idx] == eos_token_id
+        if max_bar is not None:
+            is_eos = is_eos | (new_token[:, bar_idx] > max_bar)
+        # after EOS: pad all non-Bar streams (wrappers.py:265-269)
+        pad_row = jnp.full_like(new_token, pad_token_id)
+        pad_row = pad_row.at[:, bar_idx].set(new_token[:, bar_idx])
+        new_token = jnp.where(is_eos[:, None], pad_row, new_token)
+        new_token = jnp.where(done[:, None], jnp.full_like(new_token, pad_token_id), new_token)
+
+        buf = jax.lax.dynamic_update_slice(buf, new_token[:, None], (0, L, 0))
+        done = done | is_eos
+        return (buf, caches, rng, done), done
+
+    done0 = jnp.zeros((b,), dtype=bool)
+    (buf, _, _, _), dones = jax.lax.scan(
+        body, (buf, caches, rng, done0), jnp.arange(num_steps)
+    )
+
+    generated = buf[:, t0 : seq_len + 1]
+    num_generated = jnp.where(
+        dones.any(axis=0), jnp.argmax(dones, axis=0) + 1, num_steps
+    )
+    return generated, num_generated

@@ -1,0 +1,57 @@
+"""Logit filtering and sampling (counterpart of scoreperformer/modules/sampling.py).
+
+All functions are jittable with static shapes: filters return full-size logits
+with -inf outside the kept set, so they compose inside `lax.scan`/`while_loop`
+decode loops.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def top_p(logits: jnp.ndarray, thres: float = 0.9) -> jnp.ndarray:
+    """Nucleus filtering (sampling.py:15-23), scatter-free: a token is kept iff
+    the cumulative probability of strictly-higher-ranked tokens is <= thres."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs  # exclusive cumsum
+    ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
+    token_cum = jnp.take_along_axis(cum, ranks, axis=-1)
+    return jnp.where(token_cum > thres, NEG_INF, logits)
+
+
+def top_k(logits: jnp.ndarray, thres: float = 0.9, k: Optional[int] = None) -> jnp.ndarray:
+    """Top-k filtering (sampling.py:28-33). `k` must be static under jit."""
+    if k is None:
+        k = math.ceil((1 - thres) * logits.shape[-1])
+    k = max(1, min(int(k), logits.shape[-1]))
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_a(logits: jnp.ndarray, min_p_pow: float = 2.0, min_p_ratio: float = 0.02) -> jnp.ndarray:
+    """(sampling.py:38-41)"""
+    probs = jax.nn.softmax(logits, axis=-1)
+    limit = jnp.power(jnp.max(probs, axis=-1, keepdims=True), min_p_pow) * min_p_ratio
+    return jnp.where(probs < limit, NEG_INF, logits)
+
+
+def filter_logits_and_sample(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    filter_logits_fn: Callable = top_k,
+    filter_kwargs: Optional[Dict] = None,
+    temperature: float = 1.0,
+    sample: bool = True,
+):
+    """filter → softmax(T) → categorical (sampling.py:46-59)."""
+    filtered = filter_logits_fn(logits, **(filter_kwargs or {}))
+    if not sample:
+        return jax.nn.softmax(filtered / temperature, axis=-1)
+    return jax.random.categorical(rng, filtered / temperature, axis=-1)

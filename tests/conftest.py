@@ -1,12 +1,18 @@
 """Test configuration: force a virtual 8-device CPU platform for JAX.
 
-Must run before anything imports jax.
+Note: this environment's sitecustomize registers the `axon` TPU plugin in
+every Python process and forces it into `jax_platforms`, so the env var alone
+is not enough — we must override the config after importing jax.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

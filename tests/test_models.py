@@ -1,0 +1,384 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scoreperformer_tpu.models import (
+    ScorePerformerModel,
+    TupleTransformerModule,
+    build_scoreperformer_config,
+)
+from scoreperformer_tpu.models.factory import build_tuple_transformer_config
+
+NUM_TOKENS = {
+    "Bar": 20,
+    "Position": 36,
+    "Pitch": 24,
+    "Velocity": 16,
+    "Duration": 20,
+    "Tempo": 12,
+    "TimeSig": 8,
+    "RelOnsetDev": 21,
+    "RelPerfDuration": 17,
+}
+SCORE_TOKENS = {k: v for k, v in NUM_TOKENS.items() if not k.startswith("Rel")}
+
+
+def token_values():
+    return {k: np.linspace(0, 1, v).tolist() for k, v in NUM_TOKENS.items()}
+
+
+def emb_cfg(target="simple", **kw):
+    cfg = {
+        "_target_": target,
+        "emb_dims": 16,
+        "mode": "cat",
+        "emb_norm": True,
+        "discrete": False,
+        "continuous": True,
+        "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3],
+        "token_values": token_values(),
+    }
+    cfg.update(kw)
+    return cfg
+
+
+ATTN = {"dim_head": 8, "one_kv_head": True, "alibi_pos_bias": True, "alibi_learned": True}
+FF = {"mult": 2, "glu": True, "swish": True}
+
+
+def model_config(dim=32):
+    return {
+        "num_tokens": NUM_TOKENS,
+        "num_score_tokens": SCORE_TOKENS,
+        "dim": dim,
+        "tie_token_emb": True,
+        "mode": "mixlm",
+        "score_encoder": {
+            "token_embeddings": emb_cfg(),
+            "emb_norm": True,
+            "use_abs_pos_emb": False,
+            "max_seq_len": 64,
+            "transformer": {
+                "_target_": "encoder", "depth": 1, "heads": 2,
+                "attention": ATTN, "feed_forward": FF,
+            },
+        },
+        "perf_encoder": {
+            "token_embeddings": emb_cfg(),
+            "emb_norm": True,
+            "use_abs_pos_emb": False,
+            "max_seq_len": 64,
+            "latent_dim": [8, 6, 4, 2],
+            "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
+            "latent_dropout": [0.0, 0.1, 0.2, 0.4],
+            "hierarchical": True,
+            "inclusive_latent_dropout": True,
+            "deadpan_zero_latent": True,
+            "max_segments": 24,
+            "transformer": {
+                "_target_": "encoder", "depth": 1, "heads": 2,
+                "attention": ATTN, "feed_forward": FF,
+            },
+        },
+        "perf_decoder": {
+            "token_embeddings": emb_cfg("multi-seq", multiseq_mode="post-cat"),
+            "emb_norm": True,
+            "use_abs_pos_emb": False,
+            "max_seq_len": 64,
+            "context_emb_mode": "cat",
+            "style_emb_mode": "adanorm",
+            "transformer": {
+                "_target_": "decoder", "depth": 2, "heads": 2,
+                "attention": ATTN, "feed_forward": FF,
+            },
+            "lm_head": {"_target_": "lm-tied"},
+        },
+        "classifiers": {
+            "num_classes": {"dynamics": 3, "tempo": 4},
+            "classifier": {"hidden_dims": [], "dropout": 0.2},
+            "weighted_classes": True,
+            "detach_inputs": True,
+            "class_samples": {"dynamics": [10, 5, 3], "tempo": [4, 4, 4, 4]},
+        },
+    }
+
+
+def make_batch(b=2, t=16, seed=0):
+    rng = np.random.RandomState(seed)
+
+    def rand(nt):
+        return jnp.array(np.stack([rng.randint(4, v, (b, t)) for v in nt.values()], -1))
+
+    perf, score = rand(NUM_TOKENS), rand(SCORE_TOKENS)
+    masked_perf = perf.at[..., -2:].set(1)
+    labels = np.full((b, t, len(NUM_TOKENS)), -100)
+    labels[..., 3] = np.array(perf[..., 3])
+    labels[..., -2:] = np.array(perf[..., -2:])
+    return dict(
+        perf=perf,
+        score=score,
+        masked_perf=masked_perf,
+        labels=jnp.array(labels),
+        mask=jnp.ones((b, t), bool),
+        bars=jnp.array(np.sort(rng.randint(4, 10, (b, t)), 1)),
+        beats=jnp.array(np.sort(rng.randint(4, 20, (b, t)), 1)),
+        onsets=jnp.array(np.sort(rng.randint(4, 24, (b, t)), 1)),
+        deadpan=jnp.array([False, True][:b] if b <= 2 else [False] * b),
+        directions=jnp.array(
+            np.stack([rng.randint(0, 3, (b, t)), rng.randint(0, 4, (b, t))], -1)
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def sp_model():
+    cfg = build_scoreperformer_config(model_config())
+    model = ScorePerformerModel(config=cfg)
+    batch = make_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "latent_dropout": jax.random.PRNGKey(2),
+        "mmd": jax.random.PRNGKey(3),
+    }
+    variables = model.init(
+        rngs,
+        batch["perf"],
+        perf_mask=batch["mask"],
+        score=batch["score"],
+        score_mask=batch["mask"],
+        masked_perf=batch["masked_perf"],
+        labels=batch["labels"],
+        bars=batch["bars"],
+        beats=batch["beats"],
+        onsets=batch["onsets"],
+        directions=batch["directions"],
+        deadpan_mask=batch["deadpan"],
+    )
+    return model, variables, batch
+
+
+class TestTupleTransformer:
+    def test_forward_and_tied_head(self):
+        nt = {"Bar": 20, "Position": 36, "Pitch": 24}
+        cfg = build_tuple_transformer_config(
+            {
+                "dim": 32,
+                "token_embeddings": {
+                    "_target_": "simple",
+                    "emb_dims": 16,
+                    "mode": "cat",
+                    "discrete": True,
+                    "continuous": False,
+                },
+                "use_abs_pos_emb": True,
+                "max_seq_len": 64,
+                "transformer": {"_target_": "encoder", "depth": 1, "heads": 2,
+                                "attention": {"dim_head": 8}},
+                "lm_head": {"_target_": "lm-tied"},
+            }
+        )
+        m = TupleTransformerModule(num_tokens=nt, config=cfg)
+        x = jnp.array(np.random.RandomState(0).randint(4, 20, (2, 8, 3)))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.hidden_state.shape == (2, 8, 32)
+        assert out.logits["Bar"].shape == (2, 8, 20)
+        assert out.logits["Position"].shape == (2, 8, 36)
+        assert np.isfinite(np.array(out.logits["Pitch"])).all()
+
+    def test_padding_token_zero_embedding(self):
+        from scoreperformer_tpu.models.embeddings import StreamEmbedding
+
+        emb = StreamEmbedding(num_embeddings=10, embedding_dim=8)
+        v = emb.init(jax.random.PRNGKey(0), jnp.zeros((2, 3), jnp.int32))
+        table = emb.apply(v, method="table")
+        assert np.allclose(np.array(table[0]), 0.0)
+        assert not np.allclose(np.array(table[1]), 0.0)
+
+
+class TestScorePerformer:
+    def test_forward_losses(self, sp_model):
+        model, variables, batch = sp_model
+        out = model.apply(
+            variables,
+            batch["perf"],
+            perf_mask=batch["mask"],
+            score=batch["score"],
+            score_mask=batch["mask"],
+            masked_perf=batch["masked_perf"],
+            labels=batch["labels"],
+            bars=batch["bars"],
+            beats=batch["beats"],
+            onsets=batch["onsets"],
+            directions=batch["directions"],
+            deadpan_mask=batch["deadpan"],
+            deterministic=False,
+            rngs={
+                "dropout": jax.random.PRNGKey(1),
+                "latent_dropout": jax.random.PRNGKey(2),
+                "mmd": jax.random.PRNGKey(3),
+            },
+        )
+        assert np.isfinite(float(out.loss))
+        for key in ("MMD", "clf", "loss/lm", "MMD/bar_mean", "loss/Velocity"):
+            assert key in out.losses
+        # decoder shift: logits have T-1 positions
+        assert out.perf_decoder.logits["Velocity"].shape == (2, 15, 16)
+        # style embeddings dim = sum latent dims
+        assert out.perf_encoder.embeddings.shape[-1] == 20
+
+    def test_deadpan_embeddings_not_dropped(self, sp_model):
+        model, variables, batch = sp_model
+        out = model.apply(
+            variables,
+            batch["perf"],
+            perf_mask=batch["mask"],
+            score=batch["score"],
+            score_mask=batch["mask"],
+            masked_perf=batch["masked_perf"],
+            bars=batch["bars"],
+            beats=batch["beats"],
+            onsets=batch["onsets"],
+            deadpan_mask=batch["deadpan"],
+            deterministic=False,
+            compute_loss=False,
+            rngs={
+                "dropout": jax.random.PRNGKey(1),
+                "latent_dropout": jax.random.PRNGKey(5),
+                "mmd": jax.random.PRNGKey(3),
+            },
+        )
+        # deadpan sample (index 1): dropout mask must be all False
+        assert not bool(np.array(out.perf_encoder.dropout_mask[1]).any())
+
+    def test_grad_flows(self, sp_model):
+        model, variables, batch = sp_model
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["perf"],
+                perf_mask=batch["mask"],
+                score=batch["score"],
+                score_mask=batch["mask"],
+                masked_perf=batch["masked_perf"],
+                labels=batch["labels"],
+                bars=batch["bars"],
+                beats=batch["beats"],
+                onsets=batch["onsets"],
+                directions=batch["directions"],
+                deadpan_mask=batch["deadpan"],
+                deterministic=True,
+                rngs={"mmd": jax.random.PRNGKey(3)},
+            )
+            return out.loss
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.array(g)).all() for g in flat)
+        # some gradient must be nonzero
+        assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+class TestDecodeCacheParity:
+    def test_incremental_matches_full(self, sp_model):
+        """Feeding the decoder token-by-token with a static cache must match
+        the full (uncached) forward exactly."""
+        model, variables, batch = sp_model
+        b, t = 2, 16
+
+        # build encoder outputs once
+        score_emb, perf_emb, _ = model.apply(
+            variables,
+            batch["perf"],
+            batch["mask"],
+            batch["score"],
+            batch["mask"],
+            batch["bars"],
+            batch["beats"],
+            batch["onsets"],
+            method="encode_embeddings",
+            rngs={"mmd": jax.random.PRNGKey(3)},
+        )
+
+        seq = batch["perf"][:, :-1]
+        masked = batch["masked_perf"][:, 1:]
+        style = perf_emb[:, 1:]
+        ctx = score_emb[:, 1:]
+
+        full = model.apply(
+            variables, seq, masked_tokens=masked, style_embeddings=style,
+            context=ctx, method="decode_step",
+        )
+
+        caches = model.apply(variables, b, t, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt))
+        hiddens = []
+        for j in range(seq.shape[1]):
+            out = model.apply(
+                variables,
+                seq[:, j : j + 1],
+                masked_tokens=masked[:, j : j + 1],
+                style_embeddings=style[:, j : j + 1],
+                context=ctx[:, j : j + 1],
+                caches=caches,
+                cache_index=j,
+                method="decode_step",
+            )
+            caches = out.caches
+            hiddens.append(out.hidden_state[:, 0])
+        inc = jnp.stack(hiddens, axis=1)
+
+        np.testing.assert_allclose(np.array(full.hidden_state), np.array(inc), atol=1e-5)
+
+
+class TestWrappers:
+    def test_ar_generate_constraints(self, sp_model):
+        from scoreperformer_tpu.models.wrappers import ar_generate
+
+        model, variables, batch = sp_model
+        start = batch["perf"][:, :4]
+        T = 16
+        style = jnp.zeros((2, T + 1, 20))
+        ctx = jnp.zeros((2, T + 1, 32))
+        gen, num = ar_generate(
+            model, variables, start, seq_len=T, rng=jax.random.PRNGKey(0),
+            style_embeddings=style, context=ctx, greedy=True,
+            stream_names=list(NUM_TOKENS.keys()),
+        )
+        gen = np.array(gen)
+        assert gen.shape == (2, T - 3, len(NUM_TOKENS))
+        start_np = np.array(start)
+        for bi in range(2):
+            n = int(num[bi])
+            # constraint applies to each generated token vs its predecessor
+            prev_bars = np.concatenate([start_np[bi, -1:, 0], gen[bi, : n - 1, 0]])
+            gen_bars = gen[bi, :n, 0]
+            live = gen_bars != 3  # EOS exempt
+            assert ((gen_bars >= prev_bars) | ~live).all(), (prev_bars, gen_bars)
+            # TimeSig copies forward from the previous token
+            prev_ts = np.concatenate([start_np[bi, -1:, 6], gen[bi, : n - 1, 6]])
+            assert ((gen[bi, :n, 6] == prev_ts) | ~live).all()
+
+    def test_mixedlm_unmask_fills_masks(self, sp_model):
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)  # mask perf streams
+        out = mixedlm_unmask(
+            model,
+            variables,
+            tokens,
+            batch["masked_perf"],
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+            greedy=True,
+        )
+        out = np.array(out)
+        assert not (out == 1).any()  # all masks filled
+        # unmasked streams untouched
+        np.testing.assert_array_equal(out[..., :7], np.array(batch["perf"][..., :7]))
