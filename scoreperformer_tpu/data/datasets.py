@@ -1,0 +1,635 @@
+"""Score-performance training datasets.
+
+Counterpart of scoreperformer/data/datasets/{score_performance.py, utils.py}:
+bar-window sampling with start-bar/note-shift jitter, pitch/velocity/tempo
+augmentation, noisy-performance and deadpan substitution, per-note direction
+labels, and reproducible resampling via sample metadata.
+
+Randomness is carried in an explicit np.random.RandomState (no global seeds),
+so distributed data loading stays deterministic per (seed, epoch, index).
+"""
+from __future__ import annotations
+
+import copy
+import os
+from dataclasses import dataclass, field
+from itertools import chain
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..tokenizers import TOKENIZERS, TokSequence, load_tokenizer
+from ..utils import dump_json, load_json
+from .helpers import (
+    TokenSequenceAugmentations,
+    TupleTokenSequenceIndexer,
+    TupleTokenSequenceProcessor,
+)
+from .token_sequence import LocalTokenSequenceDataset, TokenSequenceDataset, load_tokens_np
+
+
+# ---- sampling utils (datasets/utils.py) ----
+
+
+def get_num_bars(seq: np.ndarray, tokenizer) -> int:
+    bar_idx = tokenizer.types_idx["Bar"]
+    return int(seq[-1, bar_idx] - tokenizer.zero_token + 1)
+
+
+def compute_bar_sample_positions(seq_num_bars, bar_sliding_window: int):
+    """Forward+backward strided bar windows (utils.py:38-53)."""
+    bar_shift = bar_sliding_window
+    length, sample_positions = 0, []
+    for num_bars in seq_num_bars:
+        back_shift = -bar_shift // 4 if (num_bars - bar_shift // 2) % bar_shift == 0 else 0
+        positions = np.concatenate(
+            [
+                np.arange(0, num_bars - bar_shift // 2, bar_shift),
+                np.arange(num_bars - bar_shift // 2 - back_shift, -1 + bar_shift // 2, -bar_shift),
+            ]
+        )
+        length += len(positions)
+        sample_positions.append(positions)
+
+    sample_ids = np.concatenate([[0], np.cumsum(list(map(len, sample_positions)))[:-1]])
+    sample_positions = np.concatenate(sample_positions)
+    return length, sample_positions, sample_ids
+
+
+def get_end_bar(score_indices, start_bar=0, max_seq_len=512, max_bar=256) -> int:
+    end_bar = np.where(score_indices <= score_indices[start_bar] + max_seq_len)[0][-1] - 1
+    return int(min(max(start_bar, end_bar), start_bar + max_bar - 1))
+
+
+def prob2bool(rng: np.random.RandomState, prob) -> bool:
+    if isinstance(prob, bool):
+        return prob
+    return bool(rng.random_sample() < float(prob))
+
+
+# ---- sample containers (score_performance.py:31-66) ----
+
+
+@dataclass
+class NoteSegments:
+    bar: np.ndarray
+    beat: np.ndarray
+    onset: np.ndarray
+
+
+@dataclass
+class ScorePerformanceSampleMeta:
+    idx: Optional[int]
+    score_idx: int
+    perf_idx: int
+    start_bar: int
+    end_bar: Optional[int]
+    start_idx: Optional[int] = None
+    end_idx: Optional[int] = None
+    bar_offset: int = 0
+    note_shifts: Tuple[int, int] = (0, 0)
+    augmentations: Optional[TokenSequenceAugmentations] = None
+    noisy_augmentations: Optional[TokenSequenceAugmentations] = None
+    is_deadpan: bool = False
+
+
+@dataclass
+class ScorePerformanceSample:
+    score: np.ndarray
+    perf: np.ndarray
+    meta: ScorePerformanceSampleMeta
+    noisy_perf: Optional[np.ndarray] = None
+    segments: Optional[NoteSegments] = None
+    directions: Optional[Dict[str, Dict[Tuple[int, str], np.ndarray]]] = None
+    is_deadpan: bool = False
+
+
+class ScorePerformanceDataset:
+    """(score_performance.py:69-527)"""
+
+    def __init__(
+        self,
+        scores: TokenSequenceDataset,
+        performances: TokenSequenceDataset,
+        metadata: Dict[str, List[str]],
+        tokenizer,
+        alignments: Optional[Dict[str, np.ndarray]] = None,
+        auxiliary_data: Optional[Dict[str, object]] = None,
+        performance_directions: Optional[Union[str, Path, List[str], Dict[str, List[str]]]] = None,
+        score_directions_dict: Optional[Union[str, Path, Dict]] = None,
+        max_seq_len: int = 512,
+        max_bar: int = 256,
+        bar_sliding_window: int = 16,
+        sample_bars: Union[bool, float] = False,
+        sample_note_shift: Union[bool, float] = False,
+        force_max_seq_len: Union[bool, float] = False,
+        fit_to_max_bar: bool = False,
+        fit_to_zero_bar: bool = False,
+        sample_bar_offset: Union[bool, float] = False,
+        add_sos_eos: bool = False,
+        sample: bool = False,
+        seed: int = 23,
+        augment_performance: Union[bool, float] = False,
+        pitch_shift_range: Tuple[int, int] = (-3, 3),
+        velocity_shift_range: Tuple[int, int] = (-2, 2),
+        tempo_shift_range: Tuple[int, int] = (-2, 2),
+        noisy_performance: bool = False,
+        noise_strength: float = 0.5,
+        noisy_random_bars: Union[bool, float] = 0.5,
+        deadpan_performance: Union[bool, float] = False,
+        **kwargs,
+    ):
+        self.metadata = metadata
+        self.performance_names = list(sorted(set(chain.from_iterable(metadata.values()))))
+        self.score_names = list(sorted(metadata.keys()))
+        self._performance_map = {
+            perf: (score, idx)
+            for score, perfs in metadata.items()
+            for idx, perf in enumerate(perfs)
+        }
+
+        self.scores = scores
+        self.performances = performances
+        self.alignments = alignments
+
+        if isinstance(tokenizer, dict):
+            cls = TOKENIZERS[tokenizer["tokenization"]]
+            from ..tokenizers import TokenizerConfig
+
+            self.tokenizer = cls(TokenizerConfig.from_dict(tokenizer["config"]))
+        else:
+            self.tokenizer = tokenizer
+        self.encoding = type(self.tokenizer).__name__
+
+        self.augment_performance = augment_performance
+        self.noisy_performance = noisy_performance
+        if self.augment_performance == 0.0 and not self.noisy_performance:
+            pitch_shift_range = velocity_shift_range = tempo_shift_range = (0, 0)
+        self.noise_strength = noise_strength
+        self.noisy_random_bars = noisy_random_bars
+
+        self.processor = TupleTokenSequenceProcessor(
+            tokenizer=self.tokenizer,
+            pitch_shift_range=pitch_shift_range,
+            velocity_shift_range=velocity_shift_range,
+            tempo_shift_range=tempo_shift_range,
+        )
+
+        if auxiliary_data is not None:
+            for key, data in auxiliary_data.items():
+                setattr(self, key, data)
+
+        self.max_seq_len = max_seq_len
+        self.max_bar = max_bar
+        self.bar_sliding_window = bar_sliding_window
+        self.add_sos_eos = add_sos_eos
+        assert max_bar <= self.tokenizer.config.additional_params["max_bar_embedding"]
+
+        self.indexer = TupleTokenSequenceIndexer(self.tokenizer)
+        self._score_indices = [None] * len(self.scores)
+        self._perf_indices = [None] * len(self.performances)
+
+        self.bars = getattr(self, "bars", {})
+        for perf_idx, perf in enumerate(self.performance_names):
+            if perf not in self.bars:
+                self.bars[perf] = get_num_bars(self.performances[perf_idx], self.tokenizer)
+        perf_num_bars = np.array([self.bars[perf] for perf in self.performance_names])
+
+        self._length, self._sample_positions, self._sample_ids = compute_bar_sample_positions(
+            seq_num_bars=perf_num_bars, bar_sliding_window=self.bar_sliding_window
+        )
+
+        # precomputed beat/onset segment maps per score (score_performance.py:186-191)
+        self._beat_maps, self._onset_maps = [], []
+        for score_idx in range(len(self.scores)):
+            score_seq = self.scores[score_idx]
+            ticks_data = self.tokenizer.compute_ticks(score_seq, compute_beat_ticks=True)
+            self._beat_maps.append(
+                np.searchsorted(ticks_data["beat"], ticks_data["note_on"], side="right") - 1
+            )
+            unique_onsets, onset_notes = np.unique(ticks_data["note_on"], return_counts=True)
+            self._onset_maps.append(np.arange(len(unique_onsets)).repeat(onset_notes))
+
+        self.sample = sample
+        self.seed = seed
+        self._rng = np.random.RandomState(seed)
+
+        self.sample_bars = sample_bars
+        self.sample_note_shift = sample_note_shift
+        self.force_max_seq_len = force_max_seq_len
+
+        assert not (fit_to_max_bar and fit_to_zero_bar)
+        self.fit_to_max_bar = fit_to_max_bar
+        self.fit_to_zero_bar = fit_to_zero_bar
+        self.sample_bar_offset = sample_bar_offset
+
+        self.deadpan_performance = deadpan_performance
+
+        # direction labels (score_performance.py:216-247)
+        if isinstance(performance_directions, (str, Path)):
+            performance_directions = load_json(performance_directions)
+        performance_direction_sizes = None
+        if performance_directions is not None:
+            assert score_directions_dict is not None
+            if isinstance(performance_directions, list):
+                performance_directions = {"directions": list(performance_directions)}
+            performance_direction_sizes = {
+                key: len(vals) + 1 for key, vals in performance_directions.items()
+            }
+        self.performance_directions = performance_directions
+        self.performance_direction_sizes = performance_direction_sizes
+
+        if isinstance(score_directions_dict, (str, Path)):
+            score_directions_dict = load_json(score_directions_dict)
+
+        self.score_direction_maps = None
+        if score_directions_dict is not None:
+            from .directions import build_score_direction_maps
+
+            direction_keys = [
+                item for group in self.performance_directions.values() for item in group
+            ]
+            self.score_direction_maps = build_score_direction_maps(
+                self, score_directions_dict, direction_keys=direction_keys
+            )["score"]["note"]
+
+    def reseed(self, seed: int) -> None:
+        """Reseed the sampling RNG (per-epoch reproducibility hook)."""
+        self._rng = np.random.RandomState(seed)
+
+    def get_direction_class_weights(self):
+        """(score_performance.py:250-279)"""
+        from collections import defaultdict
+
+        directions_nums = {g: defaultdict(int) for g in self.performance_directions}
+        none_key = (0, "none")
+        total_notes = 0
+        for score_idx, score in enumerate(self.score_names):
+            maps = self.score_direction_maps[score_idx]
+            num_perfs = len(self.metadata[score])
+            total_notes += len(self.scores[score_idx]) * num_perfs
+            for group_name, group_directions in self.performance_directions.items():
+                directions_nums[group_name][none_key] += len(self.scores[score_idx]) * num_perfs
+                for i, key in enumerate(group_directions):
+                    num_notes = int(maps[key].sum()) if key in maps else 0
+                    directions_nums[group_name][(i + 1, key)] += num_notes * num_perfs
+
+        weights = {}
+        for group_name, group_directions in self.performance_directions.items():
+            not_empty = (
+                sum(directions_nums[group_name].values()) - directions_nums[group_name][none_key]
+            )
+            directions_nums[group_name][none_key] = (total_notes - not_empty) / total_notes
+            for i, key in enumerate(group_directions):
+                directions_nums[group_name][(i + 1, key)] /= total_notes
+            weights[group_name] = list(directions_nums[group_name].values())
+
+        return directions_nums, weights
+
+    # ---- sampling internals ----
+
+    def _get_augmentations(self, meta, is_noisy_perf=False):
+        if meta is None:
+            if self.sample and prob2bool(self._rng, self.augment_performance) and not is_noisy_perf:
+                return self.processor.sample_augmentations(self._rng)
+            elif self.sample and self.noisy_performance and is_noisy_perf:
+                return self.processor.sample_augmentations(self._rng, multiplier=self.noise_strength)
+            return None
+        elif is_noisy_perf:
+            return meta.noisy_augmentations
+        return meta.augmentations
+
+    def _augment_sequence(self, seq, augmentations, is_perf=True):
+        if augmentations is None:
+            return seq, np.ones_like(seq[:, 0], dtype=bool)
+        if not is_perf:
+            augmentations = copy.deepcopy(augmentations)
+            augmentations.velocity_shift = 0
+            augmentations.tempo_shift = 0
+        seq = self.processor.augment_sequence(seq, augmentations)
+        mask = self.processor.compute_valid_pitch_mask(seq)
+        return seq[mask], mask
+
+    def get(self, idx=None, meta=None) -> ScorePerformanceSample:
+        """(score_performance.py:312-527)"""
+        assert idx is not None or meta is not None
+        rng = self._rng
+
+        if meta is None:
+            perf_idx = int(np.where(idx >= self._sample_ids)[0][-1])
+        else:
+            idx, perf_idx = meta.idx, meta.perf_idx
+        perf = self.performance_names[perf_idx]
+
+        score, _ = self._performance_map[perf]
+        score_idx = self.scores._name_to_idx[score]
+
+        score_indices = self._score_indices[score_idx]
+        if score_indices is None:
+            score_indices = self._score_indices[score_idx] = self.indexer.compute_bar_indices(
+                self.scores[score_idx]
+            )
+        perf_indices = self._perf_indices[perf_idx]
+        if perf_indices is None:
+            perf_indices = self._perf_indices[perf_idx] = self.indexer.compute_bar_indices(
+                self.performances[perf_idx]
+            )
+
+        score_total_bars = score_indices.shape[0] - 1
+        perf_total_bars = perf_indices.shape[0] - 1
+        score_total_notes = self.scores[score_idx].shape[0]
+
+        # start bar (score_performance.py:338-356)
+        if meta is None:
+            start_bar = int(self._sample_positions[idx])
+            start_bar = min(start_bar, perf_indices.shape[0] - self.bar_sliding_window // 2)
+            if self.sample and prob2bool(rng, self.sample_bars):
+                low = max(0, start_bar - self.bar_sliding_window // 2)
+                high = min(
+                    min(score_total_bars, perf_total_bars) - self.bar_sliding_window // 4,
+                    start_bar + self.bar_sliding_window // 2,
+                )
+                high = max(low + 1, high)
+                start_bar = int(rng.randint(low, high))
+        else:
+            start_bar = meta.start_bar
+
+        score_start = int(score_indices[start_bar])
+        perf_start = int(perf_indices[start_bar])
+
+        if meta is None or meta.end_bar is None:
+            end_bar = get_end_bar(score_indices, start_bar, self.max_seq_len, self.max_bar)
+        else:
+            end_bar = meta.end_bar
+
+        score_end = int(score_indices[end_bar + 1])
+        perf_end = int(perf_indices[min(end_bar + 1, perf_total_bars)])
+
+        if score_start == score_end or score_end - score_start > self.max_seq_len:
+            score_end = min(score_end, score_start + self.max_seq_len)
+            perf_end = min(perf_end, perf_start + self.max_seq_len)
+
+        # note shifts (score_performance.py:370-388)
+        if meta is None:
+            start_note_shift = end_note_shift = 0
+            if self.sample and prob2bool(rng, self.sample_note_shift):
+                low = max(-score_start, -self.max_seq_len // 4)
+                high = min(
+                    score_total_notes - score_start - self.max_seq_len // 4,
+                    self.max_seq_len // 4,
+                )
+                if high > low:
+                    start_note_shift = end_note_shift = int(rng.randint(low, high))
+                end_note_shift = min(end_note_shift, score_total_notes - score_end)
+            if prob2bool(rng, self.force_max_seq_len):
+                end_note_shift += min(
+                    self.max_seq_len - score_end + score_start,
+                    score_total_notes - score_end - end_note_shift,
+                )
+        else:
+            start_note_shift, end_note_shift = meta.note_shifts
+
+        score_start += start_note_shift
+        perf_start += start_note_shift
+        score_end += end_note_shift
+        perf_end += end_note_shift
+
+        score_seq = self.scores[score_idx][score_start:score_end].copy()
+
+        if self.alignments is not None and perf in self.alignments:
+            alignment = self.alignments[perf]
+            aligned = alignment[np.arange(score_start, score_end)]
+            perf_seq = self.performances[perf_idx][aligned].copy()
+        else:
+            perf_seq = self.performances[perf_idx][perf_start:perf_end].copy()
+
+        z = self.tokenizer.zero_token
+        min_bar = min(perf_seq[:, 0].min() - z, score_seq[:, 0].min() - z)
+        max_bar_seen = max(perf_seq[:, 0].max() - z, score_seq[:, 0].max() - z)
+
+        # segment maps re-based to the window (score_performance.py:484-497)
+        bar_segments = score_seq[:, 0] - z
+        beat_segments = self._beat_maps[score_idx][score_start:score_end]
+        onset_segments = self._onset_maps[score_idx][score_start:score_end]
+        bar_segments, beat_segments, onset_segments = map(
+            lambda s: s - s[0] + z, (bar_segments, beat_segments, onset_segments)
+        )
+
+        # bar offset (score_performance.py:416-433)
+        bar_offset = 0
+        if meta is None:
+            if self.fit_to_max_bar:
+                if self.sample and self.sample_bar_offset:
+                    bar_offset = int(rng.randint(-min_bar, self.max_bar - max_bar_seen))
+                elif end_bar >= self.max_bar:
+                    _end_bar = int((self.max_bar - 1) * max_bar_seen / score_total_bars)
+                    bar_offset = _end_bar - max_bar_seen
+            elif self.fit_to_zero_bar:
+                bar_offset = -int(min_bar)
+        else:
+            bar_offset = meta.bar_offset
+
+        if bar_offset != 0:
+            bar_col = self.tokenizer.types_idx["Bar"]
+            score_seq[:, bar_col] += bar_offset
+            perf_seq[:, bar_col] += bar_offset
+
+        augmentations = self._get_augmentations(meta)
+        score_seq, mask = self._augment_sequence(score_seq, augmentations, is_perf=False)
+        perf_seq, _ = self._augment_sequence(perf_seq, augmentations, is_perf=True)
+
+        bar_segments, beat_segments, onset_segments = map(
+            lambda s: s[mask], (bar_segments, beat_segments, onset_segments)
+        )
+
+        # noisy performance (score_performance.py:446-458)
+        noisy_perf_seq = noisy_augmentations = None
+        if self.noisy_performance:
+            noisy_augmentations = self._get_augmentations(meta, is_noisy_perf=True)
+            noisy_perf_seq = perf_seq.copy()
+            noisy_perf_seq, _ = self._augment_sequence(noisy_perf_seq, noisy_augmentations)
+            if noisy_perf_seq.shape[0] < perf_seq.shape[0]:
+                noisy_perf_seq = perf_seq.copy()
+            if prob2bool(rng, self.noisy_random_bars):
+                bar_ids = np.arange(self.max_bar)
+                rng.shuffle(bar_ids)
+                noisy_perf_seq[:, 0] = bar_ids[np.clip(noisy_perf_seq[:, 0] - z, 0, self.max_bar - 1)] + z
+
+        # deadpan substitution (score_performance.py:461-464)
+        use_deadpan = (
+            self.sample and prob2bool(rng, self.deadpan_performance)
+            if meta is None
+            else meta.is_deadpan
+        )
+        if use_deadpan:
+            perf_seq = np.array(
+                self.tokenizer.score_tokens_as_performance(TokSequence(ids=score_seq)).ids
+            )
+
+        # SOS/EOS for whole-piece boundaries (score_performance.py:467-481)
+        if self.add_sos_eos:
+            if score_start == 0:
+                score_seq = self.processor.add_sos_token(score_seq)
+                perf_seq = self.processor.add_sos_token(perf_seq)
+                if noisy_perf_seq is not None:
+                    noisy_perf_seq = self.processor.add_sos_token(noisy_perf_seq)
+                bar_segments, beat_segments, onset_segments = map(
+                    lambda s: np.concatenate([[s[0]], s]),
+                    (bar_segments, beat_segments, onset_segments),
+                )
+            if score_end == score_total_notes:
+                score_seq = self.processor.add_eos_token(score_seq)
+                perf_seq = self.processor.add_eos_token(perf_seq)
+                if noisy_perf_seq is not None:
+                    noisy_perf_seq = self.processor.add_eos_token(noisy_perf_seq)
+                bar_segments, beat_segments, onset_segments = map(
+                    lambda s: np.concatenate([s, [s[-1]]]),
+                    (bar_segments, beat_segments, onset_segments),
+                )
+
+        # direction labels (score_performance.py:484-497)
+        directions = {}
+        if self.performance_directions is not None:
+            maps = self.score_direction_maps[score_idx]
+            for group_name, group_directions in self.performance_directions.items():
+                directions[group_name] = {}
+                for i, key in enumerate(group_directions):
+                    if key in maps:
+                        note_map = maps[key][score_start:score_end].copy()[mask]
+                        if self.add_sos_eos:
+                            if score_start == 0:
+                                note_map = np.concatenate([[0], note_map])
+                            if score_end == score_total_notes:
+                                note_map = np.concatenate([note_map, [0]])
+                    else:
+                        note_map = np.zeros(score_seq.shape[0])
+                    directions[group_name][(i + 1, key)] = note_map.astype(int)
+
+        meta = ScorePerformanceSampleMeta(
+            idx=idx,
+            score_idx=score_idx,
+            perf_idx=perf_idx,
+            start_bar=start_bar,
+            end_bar=end_bar,
+            start_idx=score_start,
+            end_idx=score_end,
+            bar_offset=bar_offset,
+            note_shifts=(start_note_shift, end_note_shift),
+            augmentations=augmentations,
+            noisy_augmentations=noisy_augmentations,
+            is_deadpan=use_deadpan,
+        )
+
+        return ScorePerformanceSample(
+            score=score_seq,
+            perf=perf_seq,
+            meta=meta,
+            noisy_perf=noisy_perf_seq,
+            segments=NoteSegments(bar=bar_segments, beat=beat_segments, onset=onset_segments),
+            directions=directions,
+            is_deadpan=use_deadpan,
+        )
+
+    def __getitem__(self, idx: int) -> ScorePerformanceSample:
+        return self.get(idx=idx)
+
+    def __len__(self) -> int:
+        return self._length
+
+
+class LocalScorePerformanceDataset(ScorePerformanceDataset):
+    """Disk-backed dataset: metadata.json + tokenizer config.json + per-piece
+    token files (score_performance.py:530-697)."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        use_alignments: bool = False,
+        auxiliary_data_keys: Optional[List[str]] = None,
+        save_auxiliary_data: bool = True,
+        zero_out_silent_durations: bool = True,
+        delete_silent_notes: bool = False,
+        preload: bool = False,
+        cache: bool = True,
+        **kwargs,
+    ):
+        self.root = root
+        self.split = split
+
+        metadata = load_json(os.path.join(root, "metadata.json"))
+        if any(key in metadata for key in ["all", "train", "eval", "val", "test"]):
+            metadata = metadata[split]
+
+        performance_names = list(sorted(set(chain.from_iterable(metadata.values()))))
+        score_names = list(sorted(metadata.keys()))
+        performance_map = {
+            perf: (score, idx)
+            for score, perfs in metadata.items()
+            for idx, perf in enumerate(perfs)
+        }
+
+        alignments = None
+        if use_alignments:
+            alignment_file = os.path.join(root, "alignments.json")
+            if os.path.exists(alignment_file):
+                alignments = {
+                    key: np.array(values)
+                    for key, values in load_json(alignment_file).items()
+                    if key in performance_map
+                }
+
+        tokenizer = load_tokenizer(os.path.join(root, "config.json"))
+        processor = TupleTokenSequenceProcessor(tokenizer=tokenizer)
+
+        seq_proc, perf_proc = [], []
+        if zero_out_silent_durations:
+            seq_proc.append(processor.zero_out_durations)
+        if delete_silent_notes:
+            perf_proc.append(processor.remove_silent_notes)
+
+        def make_load_fn(funcs):
+            def load(path):
+                seq = load_tokens_np(path)
+                for fn in funcs:
+                    seq = fn(seq)
+                return seq
+
+            return load
+
+        scores = LocalTokenSequenceDataset(
+            root=root, files=score_names, load_fn=make_load_fn(seq_proc), preload=preload, cache=cache
+        )
+        performances = LocalTokenSequenceDataset(
+            root=root,
+            files=performance_names,
+            load_fn=make_load_fn(seq_proc + perf_proc),
+            preload=preload,
+            cache=cache,
+        )
+
+        auxiliary_data = {}
+        for key in auxiliary_data_keys or []:
+            data_file = os.path.join(root, f"{key}.json")
+            if os.path.exists(data_file):
+                auxiliary_data[key] = load_json(data_file)
+
+        super().__init__(
+            scores=scores,
+            performances=performances,
+            metadata=metadata,
+            tokenizer=tokenizer,
+            alignments=alignments,
+            auxiliary_data=auxiliary_data,
+            **kwargs,
+        )
+
+        if save_auxiliary_data:
+            for key in auxiliary_data_keys or []:
+                data_file = os.path.join(root, f"{key}.json")
+                data = getattr(self, key, None)
+                if data is not None and (
+                    not os.path.exists(data_file) or len(data) != len(load_json(data_file))
+                ):
+                    dump_json(data, data_file)
