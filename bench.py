@@ -1,0 +1,282 @@
+"""Benchmark: decoded performance tokens/sec/chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline config (BASELINE.json config 5): batched KV-cached MixedLM unmasking
+with style conditioning on the flagship architecture (dim 256, decoder depth 4,
+heads 4, one-KV-head, learned ALiBi, GLU-swish FF, multi-seq post-cat
+continuous-dense embeddings, tied LM head, SPMupleWindow vocab sizes).
+
+Baseline: the reference implementation's decode loop is PyTorch on CPU with a
+per-position Python loop and concat-grown KV caches
+(reference wrappers.py:324-407). The reference repo itself cannot run here
+(miditok is not installed), so `--measure-baseline` runs a faithful
+torch-CPU re-enactment of that loop at identical dims; the default constant
+below was measured that way on this machine.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+# torch-CPU reference-style decode, tokens/sec, measured via --measure-baseline
+# on this host (see measure_torch_baseline()).
+DEFAULT_BASELINE_TOKENS_PER_SEC = None  # filled in after first measurement
+
+FLAGSHIP_NUM_TOKENS = {
+    "Bar": 260, "Position": 132, "Pitch": 92, "Velocity": 132, "Duration": 133,
+    "Tempo": 125, "TimeSig": 26, "PositionShift": 69, "NotesInOnset": 16,
+    "PositionInOnset": 16, "RelOnsetDev": 165, "RelPerfDuration": 85,
+}
+DIM = 256
+EMB_DIM = 128
+DEPTH = 4
+HEADS = 4
+DIM_HEAD = 64
+
+
+def build_flagship(batch, seq):
+    import jax
+    import jax.numpy as jnp
+
+    from scoreperformer_tpu.models import MODELS
+
+    num_tokens = FLAGSHIP_NUM_TOKENS
+    score_tokens = {
+        k: v for k, v in num_tokens.items() if k not in ("RelOnsetDev", "RelPerfDuration")
+    }
+    token_values = {k: np.linspace(0, 1, v).tolist() for k, v in num_tokens.items()}
+    emb = {
+        "_target_": "simple", "emb_dims": EMB_DIM, "mode": "cat", "emb_norm": True,
+        "discrete": False, "continuous": True, "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3], "token_values": token_values,
+    }
+    attn = {"dim_head": DIM_HEAD, "one_kv_head": True,
+            "alibi_pos_bias": True, "alibi_learned": True}
+    ff = {"mult": 4, "glu": True, "swish": True}
+    cfg = {
+        "num_tokens": num_tokens, "num_score_tokens": score_tokens,
+        "dim": DIM, "tie_token_emb": True, "mode": "mixlm",
+        "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                          "use_abs_pos_emb": False, "max_seq_len": seq + 2,
+                          "transformer": {"_target_": "encoder", "depth": 2, "heads": HEADS,
+                                          "attention": attn, "feed_forward": ff}},
+        "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                         "use_abs_pos_emb": False, "max_seq_len": seq + 2,
+                         "latent_dim": [32, 20, 8, 4],
+                         "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
+                         "hierarchical": True, "max_segments": 260,
+                         "transformer": {"_target_": "encoder", "depth": 4, "heads": HEADS,
+                                         "attention": attn, "feed_forward": ff}},
+        "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
+                                              "multiseq_mode": "post-cat"},
+                         "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": seq + 2,
+                         "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+                         "transformer": {"_target_": "decoder", "depth": DEPTH, "heads": HEADS,
+                                         "attention": attn, "feed_forward": ff},
+                         "lm_head": {"_target_": "lm-tied"}},
+    }
+    model, _ = MODELS.get("ScorePerformer")(**cfg)
+
+    rng = np.random.RandomState(0)
+
+    def rand(nt):
+        return jnp.array(np.stack([rng.randint(4, v, (batch, seq)) for v in nt.values()], -1))
+
+    perf = rand(num_tokens)
+    tokens = perf.at[:, 1:, (3, 5, 10, 11)].set(1)  # masked perf streams
+    masked = perf.at[..., (3, 5, 10, 11)].set(1)
+    batch_data = {
+        "tokens": tokens,
+        "masked": masked,
+        "style": jnp.zeros((batch, seq, 64), jnp.float32),
+        "context": jnp.zeros((batch, seq, DIM), jnp.float32),
+    }
+
+    import jax
+
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+    variables = model.init(
+        rngs,
+        perf,
+        masked_perf=masked,
+        score=rand(score_tokens),
+        bars=jnp.array(np.sort(rng.randint(4, 20, (batch, seq)), 1)),
+        beats=jnp.array(np.sort(rng.randint(4, 64, (batch, seq)), 1)),
+        onsets=jnp.array(np.sort(rng.randint(4, seq + 4, (batch, seq)), 1)),
+        deadpan_mask=jnp.zeros((batch,), bool),
+        deterministic=True,
+    )
+    return model, variables, batch_data
+
+
+def measure_tpu_decode(batch=32, seq=256, repeats=3):
+    import jax
+
+    from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+    model, variables, data = build_flagship(batch, seq)
+
+    def run(seed):
+        out = mixedlm_unmask(
+            model, variables, data["tokens"], data["masked"],
+            rng=jax.random.PRNGKey(seed),
+            style_embeddings=data["style"], context=data["context"],
+            greedy=False, temperature=1.0,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run(0)  # compile
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tokens_decoded = batch * (seq - 1)
+    return tokens_decoded / best, best
+
+
+def measure_torch_baseline(seq=256, steps=64):
+    """Reference-style decode loop: torch CPU, batch 1, per-position Python
+    loop with concat-grown KV caches and SDPA (reference attend.py:58-126,
+    wrappers.py:324-407). Measures steady-state per-token latency over the
+    first `steps` positions and extrapolates to tokens/sec."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    num_tokens = FLAGSHIP_NUM_TOKENS
+    S = len(num_tokens)
+    emb_total = EMB_DIM * S
+
+    tables = [torch.randn(v, EMB_DIM) * 0.01 for v in num_tokens.values()]
+    project_emb = torch.nn.Linear(emb_total, DIM)
+    project_multiemb = torch.nn.Linear(2 * DIM, DIM)
+    project_ctx = torch.nn.Linear(2 * DIM, DIM)  # context cat projection
+    ada_lin = [torch.nn.Linear(64, 2 * DIM) for _ in range(2 * DEPTH + 1)]
+    head_norm = torch.nn.LayerNorm(emb_total)
+
+    q_proj = [torch.nn.Linear(DIM, HEADS * DIM_HEAD, bias=False) for _ in range(DEPTH)]
+    k_proj = [torch.nn.Linear(DIM, DIM_HEAD, bias=False) for _ in range(DEPTH)]
+    v_proj = [torch.nn.Linear(DIM, DIM_HEAD, bias=False) for _ in range(DEPTH)]
+    o_proj = [torch.nn.Linear(HEADS * DIM_HEAD, DIM, bias=False) for _ in range(DEPTH)]
+    ff_in = [torch.nn.Linear(DIM, DIM * 8, bias=False) for _ in range(DEPTH)]
+    ff_out = [torch.nn.Linear(DIM * 4, DIM, bias=False) for _ in range(DEPTH)]
+    slopes = torch.rand(HEADS, 1, 1)
+
+    tokens = [torch.randint(4, min(v for v in num_tokens.values()), (seq,)) for _ in range(2)]
+    style = torch.zeros(seq, 64)
+    context = torch.zeros(seq, DIM)
+
+    caches = [None] * DEPTH
+
+    def embed(pos):
+        embs = []
+        for seq_tokens in tokens:
+            e = torch.cat([t[seq_tokens[pos]] for t in tables], dim=-1)
+            e = project_emb(F.layer_norm(e, (emb_total,)))
+            embs.append(e)
+        h = project_multiemb(torch.cat(embs, dim=-1))
+        h = project_ctx(torch.cat([h, context[pos]], dim=-1))
+        return h[None, None]  # (1, 1, dim)
+
+    def ada(x, lin, cond):
+        gb = lin(cond)
+        gamma, beta = gb[..., :DIM], gb[..., DIM:]
+        return gamma * F.layer_norm(x, (DIM,)) + beta
+
+    def step(pos):
+        with torch.inference_mode():
+            x = embed(pos)
+            cond = style[pos]
+            for layer in range(DEPTH):
+                resid = x
+                h = ada(x, ada_lin[2 * layer], cond)
+                q = q_proj[layer](h).view(1, 1, HEADS, DIM_HEAD).transpose(1, 2)
+                k_new = k_proj[layer](h)
+                v_new = v_proj[layer](h)
+                if caches[layer] is None:
+                    k, v = k_new, v_new
+                else:
+                    k = torch.cat([caches[layer][0], k_new], dim=1)
+                    v = torch.cat([caches[layer][1], v_new], dim=1)
+                caches[layer] = (k, v)
+                j = k.shape[1]
+                kh = k.view(1, 1, j, DIM_HEAD).expand(1, HEADS, j, DIM_HEAD)
+                vh = v.view(1, 1, j, DIM_HEAD).expand(1, HEADS, j, DIM_HEAD)
+                bias = -torch.abs(
+                    torch.arange(j, dtype=torch.float32) - (j - 1)
+                )[None, None, None, :] * slopes[None]
+                out = F.scaled_dot_product_attention(q, kh, vh, attn_mask=bias)
+                x = resid + o_proj[layer](out.transpose(1, 2).reshape(1, 1, -1))
+                resid = x
+                h = ada(x, ada_lin[2 * layer + 1], cond)
+                hh, gate = ff_in[layer](h).chunk(2, dim=-1)
+                x = resid + ff_out[layer](hh * F.silu(gate))
+            # tied LM head
+            h = head_norm(x[0, 0] @ project_emb.weight)
+            offset = 0
+            samples = []
+            for idx, (key, table) in enumerate(zip(num_tokens, tables)):
+                logits = h[offset : offset + EMB_DIM] @ table.t()
+                offset += EMB_DIM
+                if idx in (3, 5, 10, 11):  # sampled streams
+                    logits = logits / 1.0
+                    k = max(1, int(0.1 * logits.shape[-1]))
+                    val, ind = torch.topk(logits, k)
+                    probs = torch.full_like(logits, -float("inf"))
+                    probs.scatter_(0, ind, val)
+                    probs = torch.softmax(probs, dim=-1)
+                    samples.append(torch.multinomial(probs, 1))
+        return samples
+
+    # warmup + measure
+    for pos in range(4):
+        step(pos)
+    t0 = time.perf_counter()
+    for pos in range(4, 4 + steps):
+        step(pos)
+    elapsed = time.perf_counter() - t0
+    return steps / elapsed
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--seq", type=int, default=256)
+    parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--baseline", type=float, default=None)
+    args = parser.parse_args()
+
+    baseline = args.baseline
+    if args.measure_baseline or baseline is None:
+        baseline = measure_torch_baseline(seq=args.seq)
+
+    tokens_per_sec, wall = measure_tpu_decode(args.batch, args.seq)
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens_per_sec / baseline, 2),
+                "baseline_torch_cpu_tokens_per_sec": round(baseline, 2),
+                "config": {
+                    "batch": args.batch,
+                    "seq": args.seq,
+                    "dim": DIM,
+                    "decoder_depth": DEPTH,
+                    "wall_s": round(wall, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,12 +32,14 @@ def load_yaml(path) -> Dict[str, Any]:
 
 
 def resolve_config_hierarchy(root: Path, name: str) -> Dict[str, Any]:
-    """Load ``root/name`` and recursively merge its ``base:`` ancestry."""
+    """Load ``root/name`` and recursively merge its ``base:`` ancestry.
+    ``base:`` paths resolve relative to the child config's directory."""
     root = Path(root)
-    config = load_yaml(root / name)
+    path = (root / name).resolve()
+    config = load_yaml(path)
     base = config.pop("base", None)
     if base:
-        parent = resolve_config_hierarchy(root, base)
+        parent = resolve_config_hierarchy(path.parent, base)
         config = merge_configs(parent, config)
     return config
 

@@ -1,0 +1,525 @@
+"""Real-time streaming performance generator.
+
+Counterpart of scoreperformer/inference/generators.py:35-443: renders a piece
+chord-group by chord-group inside a wall-clock time window, with a sliding
+`max_context_len` window shifted at bar boundaries.
+
+TPU-first re-design: instead of the reference's per-token Python forwards with
+concat-grown caches, a `StreamingDecoder` holds ONE fixed-size KV cache and a
+single compiled step function (consume token j, predict j+1); window shifts
+reset the cache index and re-prefill — the same invalidation semantics as
+generators.py:183-200 without recompilation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wrappers import NEG_INF
+from ..ops.sampling import top_k
+from ..tokenizers import EOS, MASK, SOS, SPMuple2
+from ..utils import find_closest
+from .messengers import IntermediateData, SPMuple2IntermediateData, SPMupleMessenger
+
+
+class StreamingDecoder:
+    """Single-step MixedLM decoder with a persistent static KV cache."""
+
+    def __init__(self, model, variables, max_context_len: int, num_streams: int):
+        self.model = model
+        self.variables = variables
+        self.max_context_len = max_context_len
+        self.num_streams = num_streams
+        self.caches = None
+        self.consumed = 0  # number of tokens written into the cache
+
+        self._step = jax.jit(self._step_fn)
+
+    def reset(self):
+        self.caches = None
+        self.consumed = 0
+
+    def _init_cache(self):
+        return self.model.apply(
+            self.variables,
+            1,
+            self.max_context_len,
+            method=lambda m, b, t: m.init_decoder_cache(b, t),
+        )
+
+    def _step_fn(self, caches, seq_j, masked_j1, style_j1, ctx_j1, j):
+        out = self.model.apply(
+            self.variables,
+            seq_j,
+            masked_tokens=masked_j1,
+            style_embeddings=style_j1,
+            context=ctx_j1,
+            caches=caches,
+            cache_index=j,
+            method="decode_step",
+        )
+        logits = self.model.apply(
+            self.variables, out.hidden_state[:, -1], method=lambda m, h: m.perf_decoder.apply_lm_head(h)
+        )
+        return out.caches, logits
+
+    def predict(self, tokens, masked_tokens, style, context, position: int) -> Dict[str, np.ndarray]:
+        """Consume final tokens up to `position`-1 and return logits for
+        `position`. tokens: (T, S) numpy; style/context: (T, D) or None."""
+        if self.caches is None:
+            self.caches = self._init_cache()
+            self.consumed = 0
+
+        logits = None
+        # consume any not-yet-consumed tokens (all final) one chunk at a time
+        while self.consumed < position:
+            j = self.consumed
+            # consume as many as possible in one go (chunk of 1 keeps a single
+            # compiled program; prefill path uses a second program)
+            seq_j = jnp.asarray(tokens[None, j : j + 1])
+            masked_j1 = jnp.asarray(masked_tokens[None, j + 1 : j + 2])
+            style_j1 = jnp.asarray(style[None, j + 1 : j + 2]) if style is not None else None
+            ctx_j1 = jnp.asarray(context[None, j + 1 : j + 2]) if context is not None else None
+            self.caches, logits = self._step(
+                self.caches, seq_j, masked_j1, style_j1, ctx_j1, j
+            )
+            self.consumed += 1
+        return logits
+
+    def rollback(self, position: int):
+        """Logical rollback: mark tokens from `position` as not consumed (the
+        cache rows will simply be overwritten)."""
+        self.consumed = min(self.consumed, position)
+
+
+@dataclass
+class PerformanceData:
+    perf_seq: Optional[np.ndarray] = None
+    notes: Optional[np.ndarray] = None
+    embeddings: Optional[np.ndarray] = None
+    context: Optional[np.ndarray] = None
+    gen_seq: Optional[np.ndarray] = None
+    intermediates: Optional[IntermediateData] = None
+    reached_eos: bool = False
+
+
+class ScorePerformerGenerator:
+    """(generators.py:35-443)"""
+
+    def __init__(self, model, variables, dataset, collator, messenger: SPMupleMessenger):
+        self.model = model
+        self.variables = variables
+        self.dataset = dataset
+        self.tokenizer = dataset.tokenizer
+        self.collator = collator
+        self.messenger = messenger
+
+        self.sos_token_id = SOS
+        self.eos_token_id = EOS
+
+        num_dims = len(self.tokenizer.sizes)
+        self.mask_dims = np.array(
+            sorted(set(range(num_dims)) - set(self.collator.mask_ignore_token_dims))
+        )
+
+        self.perf_data = PerformanceData()
+        self._decoder: Optional[StreamingDecoder] = None
+        self._last_window_start = 0
+
+    def reset(self):
+        self.perf_data = PerformanceData()
+        if self._decoder is not None:
+            self._decoder.reset()
+
+    # ---- preparation (generators.py:68-104) ----
+
+    def prepare_performance_notes(
+        self,
+        perf_idx: int,
+        score_embeddings: Optional[np.ndarray] = None,
+        perf_embeddings: Optional[np.ndarray] = None,
+        overlay_bars: float = 0.5,
+    ) -> PerformanceData:
+        perf_seq = self.dataset.performances[perf_idx]
+        self.perf_data.perf_seq = perf_seq
+
+        initial_tempo = 120.0
+        if isinstance(self.tokenizer, SPMuple2) and hasattr(self.dataset, "initial_tempos"):
+            initial_tempo = self.dataset.initial_tempos[
+                self.dataset.performance_names[perf_idx]
+            ]
+
+        perf_seq = self.dataset.processor.add_sos_token(perf_seq)
+        perf_seq = self.dataset.processor.add_eos_token(perf_seq)
+
+        need_emb = perf_embeddings is None or score_embeddings is None
+        if need_emb:
+            score_embeddings, perf_embeddings, _ = self.encode_embeddings(
+                perf_idx, overlay_bars=overlay_bars
+            )
+
+        perf_notes = perf_seq.copy()
+        perf_notes[1:-1][:, self.mask_dims] = MASK
+
+        self.perf_data.notes = perf_notes
+        self.perf_data.embeddings = np.asarray(perf_embeddings) if perf_embeddings is not None else None
+        self.perf_data.context = np.asarray(score_embeddings) if score_embeddings is not None else None
+
+        if isinstance(self.tokenizer, SPMuple2):
+            self.perf_data.intermediates = SPMuple2IntermediateData(initial_tempo=initial_tempo)
+
+        return self.perf_data
+
+    # ---- chunked encoder pass (generators.py:320-426) ----
+
+    def encode_embeddings(
+        self, perf_idx: int, compute_latents: bool = False, overlay_bars: float = 0.0
+    ):
+        from ..data.datasets import ScorePerformanceSampleMeta, get_end_bar
+
+        dataset = self.dataset
+        perf = dataset.performance_names[perf_idx]
+        score, _ = dataset._performance_map[perf]
+        score_idx = dataset.scores._name_to_idx[score]
+        score_indices = dataset._score_indices[score_idx]
+        if score_indices is None:
+            score_indices = dataset.indexer.compute_bar_indices(dataset.scores[score_idx])
+            dataset._score_indices[score_idx] = score_indices
+
+        bar_col = self.tokenizer.types_idx["Bar"]
+        z = self.tokenizer.zero_token
+        score_seq = dataset.scores[score_idx]
+        total_bars = score_seq[-1, bar_col] - z
+
+        start_bar = 0
+        end_bar = get_end_bar(score_indices, start_bar, dataset.max_seq_len, dataset.max_bar)
+        meta = ScorePerformanceSampleMeta(
+            idx=None, score_idx=score_idx, perf_idx=perf_idx,
+            start_bar=start_bar, end_bar=end_bar,
+        )
+        sample = dataset.get(meta=meta)
+
+        emb_start_bar = start_bar
+        score_embeddings, perf_embeddings = [], []
+        while True:
+            has_sos = sample.score[0, 0] == self.sos_token_id
+            has_eos = sample.score[-1, 0] == self.eos_token_id
+            first_note_idx = int(has_sos)
+            last_note_idx = sample.score.shape[0] - int(has_eos)
+            last_perf_idx = sample.perf.shape[0] - int(has_eos)
+
+            batch = self.collator([sample])
+            from ..data.collators import scoreperformer_model_inputs
+
+            inputs = scoreperformer_model_inputs(batch)
+
+            # re-base bars to zero (generators.py:362-366)
+            shift = inputs["score"][0, first_note_idx, bar_col] - z
+            inputs["score"][0, first_note_idx:last_note_idx, bar_col] -= shift
+            inputs["perf"][0, first_note_idx:last_perf_idx, bar_col] -= shift
+
+            score_emb, perf_emb, _ = self.model.apply(
+                self.variables,
+                jnp.asarray(inputs["perf"]),
+                jnp.asarray(inputs["perf_mask"]),
+                jnp.asarray(inputs["score"]),
+                jnp.asarray(inputs["score_mask"]),
+                jnp.asarray(inputs["bars"]),
+                jnp.asarray(inputs["beats"]),
+                jnp.asarray(inputs["onsets"]),
+                method="encode_embeddings",
+                rngs={"mmd": jax.random.PRNGKey(0)},
+            )
+
+            n_notes = sample.score.shape[0]
+            note_cut_idx = 0
+            if overlay_bars:
+                hits = np.where(sample.score[:, bar_col] - z >= emb_start_bar)[0]
+                note_cut_idx = (int(hits[0]) - first_note_idx) if len(hits) else 0
+
+            if score_emb is not None:
+                score_embeddings.append(np.asarray(score_emb[0, note_cut_idx:n_notes]))
+            if perf_emb is not None:
+                perf_embeddings.append(np.asarray(perf_emb[0, note_cut_idx:n_notes]))
+
+            if has_eos:
+                break
+
+            if overlay_bars:
+                start_bar = int(
+                    sample.score[int(sample.score.shape[0] * (1 - overlay_bars)), 0] - z
+                )
+                emb_start_bar = end_bar + 1
+            else:
+                emb_start_bar = start_bar = end_bar + 1
+            end_bar = get_end_bar(score_indices, start_bar, dataset.max_seq_len, dataset.max_bar)
+            meta.start_bar, meta.end_bar = start_bar, end_bar
+            sample = dataset.get(meta=meta)
+
+        score_embeddings = np.concatenate(score_embeddings, 0) if score_embeddings else None
+        perf_embeddings = np.concatenate(perf_embeddings, 0) if perf_embeddings else None
+
+        latents = None
+        if compute_latents and perf_embeddings is not None:
+            bars = score_seq[:, 0]
+            beats = dataset._beat_maps[score_idx]
+            onsets = dataset._onset_maps[score_idx]
+            bars, beats, onsets = (
+                jnp.asarray(np.concatenate([[s[0]], s, [s[-1]]]))[None]
+                for s in (bars, beats, onsets)
+            )
+            latents = self.model.apply(
+                self.variables,
+                jnp.asarray(perf_embeddings)[None],
+                bars=bars,
+                beats=beats,
+                onsets=onsets,
+                method=lambda m, e, **kw: m.perf_encoder.embeddings_to_latents(e, **kw),
+            )
+
+        return score_embeddings, perf_embeddings, latents
+
+    # ---- streaming generation (generators.py:106-295) ----
+
+    def generate_performance_notes(
+        self,
+        start_time: float = 0.0,
+        time_window: float = 0.2,
+        time_window_overflow: float = 0.1,
+        delta_embedding: Optional[np.ndarray] = None,
+        max_context_len: int = 512,
+        group_chord_notes: bool = True,
+        rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        filter_fn: Callable = top_k,
+        filter_kwargs: Optional[Dict] = None,
+        greedy: bool = False,
+    ):
+        tok = self.tokenizer
+        perf_notes = self.perf_data.notes
+        perf_embeddings = (
+            self.perf_data.embeddings.copy() if self.perf_data.embeddings is not None else None
+        )
+        score_embeddings = self.perf_data.context
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        if self.perf_data.gen_seq is None:
+            self.perf_data.gen_seq = perf_notes[:1].copy()
+        gen_total = self.perf_data.gen_seq
+
+        if self._decoder is None or self._decoder.max_context_len != max_context_len:
+            self._decoder = StreamingDecoder(
+                self.model, self.variables, max_context_len, perf_notes.shape[1]
+            )
+
+        current_note_idx = gen_total.shape[0]
+        intermediates = self.perf_data.intermediates
+        bar_col = 0
+        z = tok.zero_token
+
+        # window start (generators.py:133-146)
+        start_idx = 0
+        if current_note_idx >= max_context_len - 1:
+            bars = gen_total[1:, bar_col]
+            next_bar_idx = np.where(np.diff(bars))[0]
+            fits = np.where(current_note_idx - (next_bar_idx + 1) < max_context_len)[0]
+            start_idx = 0 if len(fits) == 0 else int(next_bar_idx[fits[0]] + 2)
+
+        # working buffers over the window
+        window = gen_total[start_idx:].copy()
+        known_len = window.shape[0]
+
+        all_token_times: List[float] = []
+        all_gen_tokens: List[np.ndarray] = []
+        window_start = start_idx  # absolute index of window[0]
+        # cache stays valid across calls only if the window start is unchanged
+        needs_prefill = start_idx != self._last_window_start or self._decoder.caches is None
+        self._last_window_start = start_idx
+
+        tempo_col = tok.types_idx["Tempo"]
+
+        while not self.perf_data.reached_eos:
+            # chord group (generators.py:159-166)
+            if group_chord_notes:
+                end = current_note_idx + 1
+                while end < len(perf_notes) and np.all(
+                    perf_notes[current_note_idx, :2] == perf_notes[end, :2]
+                ):
+                    end += 1
+                new_notes = perf_notes[current_note_idx:end].copy()
+            else:
+                new_notes = perf_notes[current_note_idx : current_note_idx + 1].copy()
+            num_new = new_notes.shape[0]
+
+            # refresh tempo tokens from intermediates when not predicted
+            if isinstance(tok, SPMuple2) and tempo_col not in self.mask_dims:
+                tempo = (
+                    intermediates.tempos[-1, 0]
+                    if intermediates is not None and intermediates.tempos is not None
+                    else intermediates.initial_tempo
+                )
+                new_notes[:, tempo_col] = find_closest(tok.vocab.tempos, tempo) + z
+
+            if new_notes[-1, bar_col] == self.eos_token_id:
+                self.perf_data.reached_eos = True
+                break
+
+            window = np.concatenate([window, new_notes], axis=0)
+
+            # window shift at bar boundaries (generators.py:183-200)
+            if window.shape[0] >= max_context_len:
+                has_sos = window[0, bar_col] == self.sos_token_id
+                first = int(has_sos)
+                bars = window[first:, bar_col]
+                next_bar_idx = np.where(np.diff(bars))[0]
+                shift = 1
+                if len(next_bar_idx) > 0:
+                    fits = np.where(window.shape[0] - (next_bar_idx + first) < max_context_len)[0]
+                    if len(fits) > 0 and next_bar_idx[fits[0]] + 1 + first != window.shape[0] - 1:
+                        shift = int(next_bar_idx[fits[0]] + 1 + first)
+                window = window[shift:]
+                known_len -= shift
+                window_start += shift
+                self._last_window_start = window_start
+                self._decoder.reset()
+                needs_prefill = True
+                if known_len < max_context_len / 8:
+                    break
+
+            # bar re-base to zero (generators.py:203-204)
+            wb = window.copy()
+            first = int(wb[0, bar_col] == self.sos_token_id)
+            live = wb[first:, bar_col] > EOS
+            bar_shift = wb[first, bar_col] - z
+            wb[first:, bar_col] = np.where(live, wb[first:, bar_col] - bar_shift, wb[first:, bar_col])
+
+            # doubled masked input (generators.py:207-208)
+            wb_masked = wb.copy()
+            wb_masked[first:][:, self.mask_dims] = MASK
+
+            # style delta (generators.py:211-212)
+            if perf_embeddings is not None and delta_embedding is not None:
+                perf_embeddings[current_note_idx : current_note_idx + num_new] += delta_embedding
+
+            style = (
+                perf_embeddings[window_start : window_start + wb.shape[0]]
+                if perf_embeddings is not None
+                else None
+            )
+            ctx = (
+                score_embeddings[window_start : window_start + wb.shape[0]]
+                if score_embeddings is not None
+                else None
+            )
+
+            if needs_prefill:
+                self._decoder.reset()
+                needs_prefill = False
+
+            # unmask each new position sequentially
+            base = wb.shape[0] - num_new
+            for k in range(num_new):
+                pos = base + k
+                logits = self._decoder.predict(wb, wb_masked, style, ctx, pos)
+                rng, step_rng = jax.random.split(rng)
+                row = wb[pos].copy()
+                srngs = jax.random.split(step_rng, len(logits))
+                for s, (key, lg) in enumerate(logits.items()):
+                    if row[s] != MASK:
+                        continue
+                    lg = np.array(lg[0])  # writable copy
+                    lg[0] = lg[1] = NEG_INF
+                    if greedy:
+                        row[s] = int(np.argmax(lg))
+                    else:
+                        filtered = filter_fn(jnp.asarray(lg)[None], **(filter_kwargs or {}))
+                        row[s] = int(
+                            jax.random.categorical(srngs[s], filtered / temperature, axis=-1)[0]
+                        )
+                wb[pos] = row
+                window[pos] = row
+                # restore absolute bar id in the carried window
+                if row[bar_col] > EOS:
+                    window[pos, bar_col] = row[bar_col] + bar_shift
+
+            gen_tokens = window[base:].copy()
+
+            token_times, intermediates = self.messenger.tokens_to_messages(
+                gen_tokens,
+                note_attributes=False,
+                note_off_events=False,
+                intermediates=intermediates,
+                return_intermediates=True,
+                sort=False,
+            )
+            all_token_times.extend(np.atleast_1d(token_times).tolist())
+            all_gen_tokens.append(gen_tokens)
+
+            current_note_idx += num_new
+
+            if np.max(token_times) >= start_time + time_window + time_window_overflow:
+                break
+
+        if not all_gen_tokens:
+            return None, []
+
+        # cut to the window (generators.py:259-276)
+        times = np.array(all_token_times)
+        fit = np.where(times <= start_time + time_window)[0]
+        cut_idx = 0 if len(fit) == 0 else int(fit[-1] + 1)
+        if cut_idx == 0:
+            return None, []
+
+        gen_tokens = np.concatenate(all_gen_tokens, axis=0)[:cut_idx]
+        messages, self.perf_data.intermediates = self.messenger.tokens_to_messages(
+            gen_tokens,
+            intermediates=self.perf_data.intermediates,
+            return_intermediates=True,
+            to_times=True,
+            sort=False,
+        )
+
+        if perf_embeddings is not None and delta_embedding is not None:
+            total_len = self.perf_data.gen_seq.shape[0]
+            self.perf_data.embeddings[total_len : total_len + cut_idx] = perf_embeddings[
+                total_len : total_len + cut_idx
+            ]
+
+        self.perf_data.gen_seq = np.concatenate([self.perf_data.gen_seq, gen_tokens], axis=0)
+
+        # any tokens beyond the cut are invalid in the cache: rebuild next call
+        overshoot = len(all_token_times) - cut_idx
+        if overshoot > 0:
+            self._decoder.reset()
+
+        return gen_tokens, messages
+
+    def predict_number_of_notes(
+        self, start_time: float = 0.0, time_window: float = 0.2, max_notes: int = 32
+    ):
+        """(generators.py:297-318)"""
+        num_gen = len(self.perf_data.gen_seq) - 1 if self.perf_data.gen_seq is not None else 0
+        future = self.perf_data.perf_seq[num_gen : num_gen + max_notes].copy()
+        if len(future) == 0:
+            return 0
+
+        inter = self.perf_data.intermediates
+        if inter is not None and inter.tempos is not None:
+            tempo_col = self.tokenizer.types_idx["Tempo"]
+            tempo_token = int(
+                find_closest(self.tokenizer.vocab.tempos, inter.tempos[-1, 0])
+                + self.tokenizer.zero_token
+            )
+            shift = tempo_token - self.perf_data.perf_seq[num_gen - 1, tempo_col]
+            future[:, tempo_col] += shift
+
+        times = self.messenger.tokens_to_messages(
+            future, note_attributes=False, note_off_events=False,
+            intermediates=inter, sort=False,
+        )
+        return int((np.atleast_1d(times) <= start_time + time_window).sum())

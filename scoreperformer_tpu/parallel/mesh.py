@@ -1,0 +1,87 @@
+"""Device mesh and sharding utilities.
+
+The reference is single-device (SURVEY §2.8); this framework is mesh-native:
+a (data, model) mesh with batch sharded over `data` and optional tensor
+sharding of the large Dense kernels over `model`. Gradients are averaged by
+the psum XLA inserts for replicated params — no explicit collectives here.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    device_array = np.asarray(devices).reshape(data, model)
+    return Mesh(device_array, (DATA_AXIS, MODEL_AXIS))
+
+
+# Default tensor-parallel rules: shard the widest kernels over `model`.
+# Everything else replicates. (The flagship is small — dim 256 — so these
+# only engage when a model axis > 1 is requested.)
+DEFAULT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*feed_forward.*proj_in.*kernel", P(None, MODEL_AXIS)),
+    (r".*proj_in.*kernel", P(None, MODEL_AXIS)),
+    (r".*proj_out.*kernel", P(MODEL_AXIS, None)),
+    (r".*(to_q|to_k|to_v)\/kernel", P(None, MODEL_AXIS)),
+    (r".*to_out\/kernel", P(MODEL_AXIS, None)),
+)
+
+
+def partition_spec_for(path: str, rules=DEFAULT_PARTITION_RULES) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def params_shardings(params, mesh: Mesh, rules=DEFAULT_PARTITION_RULES):
+    """NamedSharding tree matching `params` (replicate by default)."""
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        rules = ()
+
+    def spec(path, leaf):
+        p = partition_spec_for(_path_str(path), rules)
+        # only shard when divisible
+        if p != P():
+            axes = [a for a in p if a is not None]
+            for dim, axis in zip(range(leaf.ndim), p):
+                if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, p)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_params(params, mesh: Mesh, rules=DEFAULT_PARTITION_RULES):
+    shardings = params_shardings(params, mesh, rules)
+    return jax.device_put(params, shardings)
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

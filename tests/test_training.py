@@ -1,0 +1,183 @@
+import numpy as np
+import pytest
+
+import jax
+
+from scoreperformer_tpu.data import (
+    LocalScorePerformanceDataset,
+    MixedLMScorePerformanceCollator,
+)
+from scoreperformer_tpu.data.synthetic import build_synthetic_dataset
+from scoreperformer_tpu.models import MODELS
+from scoreperformer_tpu.training import (
+    ScorePerformerEvaluator,
+    Trainer,
+    TrainerConfig,
+    OptimizerConfig,
+    inject_data_config,
+    load_checkpoint,
+)
+
+MAX_SEQ = 48
+
+
+def tiny_model_cfg():
+    emb = {
+        "_target_": "simple", "emb_dims": 16, "mode": "cat", "emb_norm": True,
+        "discrete": False, "continuous": True, "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3],
+    }
+    attn = {"dim_head": 8, "one_kv_head": True, "alibi_pos_bias": True, "alibi_learned": True}
+    ff = {"mult": 2, "glu": True, "swish": True}
+    return {
+        "_name_": "ScorePerformer",
+        "dim": 32,
+        "tie_token_emb": True,
+        "mode": "mixlm",
+        "score_encoder": {
+            "token_embeddings": dict(emb), "emb_norm": True, "use_abs_pos_emb": False,
+            "max_seq_len": MAX_SEQ + 2,
+            "transformer": {"_target_": "encoder", "depth": 1, "heads": 2,
+                            "attention": attn, "feed_forward": ff},
+        },
+        "perf_encoder": {
+            "token_embeddings": dict(emb), "emb_norm": True, "use_abs_pos_emb": False,
+            "max_seq_len": MAX_SEQ + 2,
+            "latent_dim": [8, 6, 4, 2],
+            "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
+            "latent_dropout": [0.0, 0.1, 0.2, 0.4],
+            "hierarchical": True, "deadpan_zero_latent": True, "max_segments": 64,
+            "transformer": {"_target_": "encoder", "depth": 1, "heads": 2,
+                            "attention": attn, "feed_forward": ff},
+        },
+        "perf_decoder": {
+            "token_embeddings": {**emb, "_target_": "multi-seq", "multiseq_mode": "post-cat"},
+            "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+            "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+            "transformer": {"_target_": "decoder", "depth": 1, "heads": 2,
+                            "attention": {**attn, "dropout": 0.1},
+                            "feed_forward": {**ff, "dropout": 0.1}},
+            "lm_head": {"_target_": "lm-tied"},
+        },
+        "classifiers": {
+            "classifier": {"hidden_dims": [], "dropout": 0.2},
+            "weighted_classes": True, "detach_inputs": True,
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("trainds"))
+    build_synthetic_dataset(root, n_scores=2, n_perfs_per_score=2, n_bars=8, seed=3)
+    dataset = LocalScorePerformanceDataset(
+        root=root,
+        performance_directions=f"{root}/direction_classes.json",
+        score_directions_dict=f"{root}/score_directions.json",
+        max_seq_len=MAX_SEQ,
+        bar_sliding_window=8,
+        fit_to_zero_bar=True,
+        add_sos_eos=True,
+        sample=True,
+        noisy_performance=True,
+        deadpan_performance=0.25,
+        augment_performance=0.5,
+        velocity_shift_range=(-6, 6),
+        tempo_shift_range=(0, 0),
+        preload=True,
+    )
+    collator = MixedLMScorePerformanceCollator(
+        fixed_seq_len=MAX_SEQ + 2,
+        mask_ignore_token_ids=[0, 1, 2, 3],
+        mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
+    )
+    model_cfg = inject_data_config(
+        {k: v for k, v in tiny_model_cfg().items() if not k.startswith("_")}, dataset
+    )
+    model, model_config = MODELS.get("ScorePerformer")(**model_cfg)
+    return dataset, collator, model, model_config
+
+
+class TestTrainer:
+    def test_train_loss_decreases(self, setup, tmp_path):
+        dataset, collator, model, model_config = setup
+        evaluator = ScorePerformerEvaluator(
+            tokenizer=dataset.tokenizer, mode="mixlm",
+            ignore_keys=["Bar", "Position", "Pitch", "Duration", "TimeSig",
+                         "PositionShift", "NotesInOnset", "PositionInOnset"],
+            weighted_distance=True,
+        )
+        config = TrainerConfig(
+            output_dir=str(tmp_path / "run"),
+            epochs=6,
+            batch_size=4,
+            eval_batch_size=4,
+            log_strategy="epoch",
+            eval_strategy="epoch",
+            eval_steps=3,
+            save_strategy="no",
+            disable_progress=True,
+            optimization=OptimizerConfig(lr=3e-3, optimizer="adamw", grad_clip=2.0,
+                                         lr_scheduler="exponential",
+                                         lr_scheduler_params={"gamma": 0.995}),
+        )
+        trainer = Trainer(
+            model=model, config=config,
+            train_dataset=dataset, eval_dataset=dataset,
+            collator=collator, evaluator=evaluator, model_config=model_config,
+        )
+        state = trainer.train()
+
+        logs = [l for l in state.log_history if "train/loss" in l]
+        assert len(logs) >= 2
+        first, last = logs[0]["train/loss"], logs[-1]["train/loss"]
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first, (first, last)
+
+        eval_logs = [l for l in state.log_history if "eval/accuracy" in l]
+        assert eval_logs and 0.0 <= eval_logs[-1]["eval/accuracy"] <= 1.0
+        assert any("eval/distance/Velocity" in l for l in eval_logs)
+
+        # final-save guarantee
+        ckpt = load_checkpoint(str(tmp_path / "run" / "checkpoint_last"))
+        assert "params" in ckpt
+        assert ckpt["trainer_state"]["global_step"] == state.global_step
+        assert ckpt["model_config"]["dim"] == 32
+
+    def test_checkpoint_roundtrip_and_warm_start(self, setup, tmp_path):
+        from scoreperformer_tpu.training import save_checkpoint, warm_start_params
+
+        dataset, collator, model, model_config = setup
+        config = TrainerConfig(
+            output_dir=str(tmp_path / "run2"), epochs=1, batch_size=2,
+            save_strategy="no", eval_strategy="no", log_strategy="no",
+            disable_progress=True,
+        )
+        trainer = Trainer(model=model, config=config, train_dataset=dataset,
+                          eval_dataset=None, collator=collator, model_config=model_config)
+        trainer.init_params()
+        params = jax.device_get(trainer.params)
+        path = save_checkpoint(str(tmp_path / "ck"), params)
+        loaded = load_checkpoint(path)
+
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(loaded["params"])
+        assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+        # warm start with a perturbed copy: matching keys copied over
+        perturbed = jax.tree.map(lambda x: x + 1.0, params)
+        merged = warm_start_params(perturbed, loaded["params"])
+        assert all(
+            np.allclose(a, b) for a, b in zip(jax.tree.leaves(merged), flat_b)
+        )
+
+    def test_freeze_mask(self, setup):
+        from scoreperformer_tpu.training import freeze_mask
+
+        dataset, collator, model, model_config = setup
+        params = {"perf_decoder": {"k": np.ones(2)}, "score_encoder": {"k": np.ones(2)}}
+        mask = freeze_mask(params, ["perf_decoder"])
+        assert mask["perf_decoder"]["k"] is True
+        assert mask["score_encoder"]["k"] is False
+        mask_all = freeze_mask(params, [])
+        assert mask_all["score_encoder"]["k"] is True

@@ -1,0 +1,28 @@
+"""Training entry point (counterpart of scoreperformer/train.py:9-32).
+
+Usage: python train.py -r recipes -n scoreperformer/base.yaml
+"""
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a ScorePerformer-TPU model")
+    parser.add_argument("-r", "--root", type=str, default="recipes", help="config root dir")
+    parser.add_argument("-n", "--name", type=str, required=True, help="config name (yaml)")
+    parser.add_argument("--eval-only", action="store_true")
+    args = parser.parse_args()
+
+    from scoreperformer_tpu.training import ExperimentComponents
+
+    components = ExperimentComponents.from_yaml(args.root, args.name)
+    components.init_components()
+
+    if args.eval_only:
+        metrics = components.trainer.evaluate()
+        print(metrics)
+    else:
+        components.trainer.train()
+
+
+if __name__ == "__main__":
+    main()
