@@ -98,17 +98,19 @@ def build_flagship(batch, seq):
 
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
             "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
-    variables = model.init(
-        rngs,
-        perf,
+    init_kwargs = dict(
         masked_perf=masked,
         score=rand(score_tokens),
         bars=jnp.array(np.sort(rng.randint(4, 20, (batch, seq)), 1)),
         beats=jnp.array(np.sort(rng.randint(4, 64, (batch, seq)), 1)),
         onsets=jnp.array(np.sort(rng.randint(4, seq + 4, (batch, seq)), 1)),
         deadpan_mask=jnp.zeros((batch,), bool),
-        deterministic=True,
     )
+    # jit the init: eager init dispatches thousands of tiny ops (very slow on
+    # remote-compile platforms)
+    variables = jax.jit(
+        lambda r, p, kw: model.init(r, p, **kw, deterministic=True)
+    )(rngs, perf, init_kwargs)
     return model, variables, batch_data
 
 
@@ -119,12 +121,18 @@ def measure_tpu_decode(batch=32, seq=256, repeats=3):
 
     model, variables, data = build_flagship(batch, seq)
 
-    def run(seed):
-        out = mixedlm_unmask(
-            model, variables, data["tokens"], data["masked"],
-            rng=jax.random.PRNGKey(seed),
-            style_embeddings=data["style"], context=data["context"],
+    @jax.jit
+    def unmask(rng, tokens, masked, style, context):
+        return mixedlm_unmask(
+            model, variables, tokens, masked, rng=rng,
+            style_embeddings=style, context=context,
             greedy=False, temperature=1.0,
+        )
+
+    def run(seed):
+        out = unmask(
+            jax.random.PRNGKey(seed),
+            data["tokens"], data["masked"], data["style"], data["context"],
         )
         jax.block_until_ready(out)
         return out
@@ -244,6 +252,16 @@ def measure_torch_baseline(seq=256, steps=64):
     return steps / elapsed
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32)
@@ -251,6 +269,8 @@ def main():
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--baseline", type=float, default=None)
     args = parser.parse_args()
+
+    _enable_compile_cache()
 
     baseline = args.baseline
     if args.measure_baseline or baseline is None:

@@ -162,6 +162,38 @@ def get_mask_subset_with_prob(mask: np.ndarray, prob: float, rng: np.random.Rand
     return new_mask[:, 1:]
 
 
+def mlm_mask_sequence(
+    seq: np.ndarray,
+    rng: np.random.RandomState,
+    mask_prob: float,
+    replace_prob: float,
+    mask_token_id: int,
+    mask_ignore_token_ids,
+    mask_ignore_token_dims,
+    label_pad_ignored_dims: bool = True,
+    label_pad_token_id: int = LABEL_PAD,
+):
+    """MLM subset masking (performance.py:169-189)."""
+    no_mask = mask_with_tokens(seq, mask_ignore_token_ids)
+    mask = get_mask_subset_with_prob(~no_mask, mask_prob, rng)
+    if seq.ndim == 3:
+        mask = np.broadcast_to(mask[..., None], seq.shape)
+
+    dim_mask = mask_with_token_dims(seq, mask_ignore_token_dims)
+    replace = rng.rand(*seq.shape[:2]) < replace_prob
+    if seq.ndim == 3:
+        replace = replace[..., None]
+
+    token_mask = mask & replace & (~dim_mask)
+    masked_seq = np.where(token_mask, mask_token_id, seq)
+
+    label_mask = mask
+    if label_pad_ignored_dims:
+        label_mask = label_mask & (~dim_mask)
+    labels = np.where(label_mask, seq, label_pad_token_id)
+    return masked_seq, labels, label_mask
+
+
 class LMScorePerformanceCollator(ScorePerformanceCollator):
     """CLM/MLM labels (collators/score_performance.py:124-186)."""
 
@@ -195,25 +227,17 @@ class LMScorePerformanceCollator(ScorePerformanceCollator):
         self._rng = np.random.RandomState(seed)
 
     def mask_sequence(self, seq: np.ndarray):
-        """MLM masking (performance.py:169-189)."""
-        no_mask = mask_with_tokens(seq, self.mask_ignore_token_ids)
-        mask = get_mask_subset_with_prob(~no_mask, self.mask_prob, self._rng)
-        if seq.ndim == 3:
-            mask = np.broadcast_to(mask[..., None], seq.shape)
-
-        dim_mask = mask_with_token_dims(seq, self.mask_ignore_token_dims)
-        replace = self._rng.rand(*seq.shape[:2]) < self.replace_prob
-        if seq.ndim == 3:
-            replace = replace[..., None]
-
-        token_mask = mask & replace & (~dim_mask)
-        masked_seq = np.where(token_mask, self.mask_token_id, seq)
-
-        label_mask = mask
-        if self.label_pad_ignored_dims:
-            label_mask = label_mask & (~dim_mask)
-        labels = np.where(label_mask, seq, self.label_pad_token_id)
-        return masked_seq, labels, label_mask
+        return mlm_mask_sequence(
+            seq,
+            self._rng,
+            self.mask_prob,
+            self.replace_prob,
+            self.mask_token_id,
+            self.mask_ignore_token_ids,
+            self.mask_ignore_token_dims,
+            self.label_pad_ignored_dims,
+            self.label_pad_token_id,
+        )
 
     def __call__(self, batch) -> ScorePerformanceInputs:
         data = super().__call__(batch)

@@ -42,6 +42,7 @@ class Attention(nn.Module):
     alibi_num_heads: Optional[int] = None
     alibi_symmetric: bool = True
     alibi_learned: bool = False
+    use_flash: bool = True  # Pallas flash kernel on the eligible eval path
 
     def setup(self):
         q_dim = self.dim_head * self.heads
@@ -94,6 +95,39 @@ class Attention(nn.Module):
         v = self.to_v(kv_input)
 
         q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)  # b h n d
+
+        # --- Pallas flash path (full self-attention, no cache/window/bias-mask,
+        # symmetric ALiBi, inference-time i.e. no attention dropout) ---
+        if (
+            self.use_flash
+            and cache is None
+            and context is None
+            and attn_mask is None
+            and self.max_attend is None
+            and deterministic  # inference only: the kernel has no VJP yet
+            and (self.rel_pos is None or self.alibi_symmetric or self.causal)
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.flash_attention import flash_attention_alibi
+
+            if self.rel_pos is not None:
+                slopes = self.rel_pos.get_slopes().reshape(-1)
+                pad = h - slopes.shape[0]
+                if pad > 0:
+                    slopes = jnp.concatenate([slopes, jnp.zeros(pad)])
+            else:
+                slopes = jnp.zeros(h)
+            kv_heads = 1 if self.one_kv_head else h
+            k_h = k.reshape(b, n, kv_heads, d).transpose(0, 2, 1, 3)
+            v_h = v.reshape(b, n, kv_heads, d).transpose(0, 2, 1, 3)
+            out = flash_attention_alibi(
+                q, k_h, v_h, slopes, mask=mask, causal=self.causal, scale=scale
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+            out = self.to_out(out)
+            if mask is not None:
+                out = out * mask[..., None]
+            return out, None
 
         has_cache = cache is not None
         if has_cache:

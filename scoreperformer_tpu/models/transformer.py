@@ -26,6 +26,7 @@ class AttentionConfig(ModuleConfig):
     alibi_num_heads: Optional[int] = None
     alibi_symmetric: bool = True
     alibi_learned: bool = False
+    use_flash: bool = True
 
 
 @dataclass
@@ -85,6 +86,7 @@ class TransformerStack(nn.Module):
                     alibi_num_heads=cfg.attention.alibi_num_heads,
                     alibi_symmetric=cfg.attention.alibi_symmetric,
                     alibi_learned=cfg.attention.alibi_learned,
+                    use_flash=cfg.attention.use_flash,
                     name=f"layer_{ind}_attn",
                 )
             elif layer_type == "c":

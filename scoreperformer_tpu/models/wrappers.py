@@ -22,6 +22,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.sampling import top_k
 
@@ -143,6 +144,85 @@ def mixedlm_unmask(
 
     (tokens, _, _), _ = jax.lax.scan(body, (tokens, caches, rng), jnp.arange(T - 1))
     return tokens
+
+
+def mlm_unmask(
+    model,
+    variables,
+    tokens: jnp.ndarray,
+    rng: jax.Array,
+    single_run: bool = True,
+    mask: Optional[jnp.ndarray] = None,
+    style_embeddings: Optional[jnp.ndarray] = None,
+    context: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    filter_fn: Callable = top_k,
+    filter_kwargs: Optional[Dict] = None,
+    greedy: bool = False,
+    mask_token_id: int = 1,
+    num_special_tokens: int = 4,
+    forbid_ids: Optional[Dict[int, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """MLM unmasking (reference wrappers.py:99-182).
+
+    single_run=True: one bidirectional forward, argmax fill (the reference
+    falls back to argmax here too, wrappers.py:149-157). Otherwise positions
+    are revealed left-to-right with a full re-encode per masked position
+    (bidirectional attention invalidates incremental caches), each forward
+    masked to the revealed prefix.
+    """
+    b, T, S = tokens.shape
+    if mask is None:
+        mask = jnp.ones((b, T), dtype=bool)
+    unmask_mask = tokens == mask_token_id
+
+    def forward(tok, attn_len_mask):
+        out = model.apply(
+            variables,
+            tok,
+            mask=attn_len_mask,
+            style_embeddings=style_embeddings,
+            context=context,
+            method="decode_step",
+        )
+        return out.hidden_state
+
+    if single_run:
+        hidden = forward(tokens, mask)
+        logits = model.apply(
+            variables, hidden, method=lambda m, h: m.perf_decoder.apply_lm_head(h)
+        )
+        samples = jnp.stack([jnp.argmax(lg, axis=-1) for lg in logits.values()], axis=-1)
+        return jnp.where(unmask_mask, samples, tokens)
+
+    # iterative: reveal masked positions left-to-right
+    position_masked = np.asarray(jax.device_get(unmask_mask.any(axis=-1)))  # (b, T)
+    out_tokens = tokens
+    for idx in range(1, T):
+        if not position_masked[:, idx].any():
+            continue
+        prefix_mask = mask & (jnp.arange(T)[None, :] <= idx)
+        hidden = forward(out_tokens, prefix_mask)
+        logits = model.apply(
+            variables,
+            hidden[:, idx - 1],
+            method=lambda m, h: m.perf_decoder.apply_lm_head(h),
+        )
+        rng, step_rng = jax.random.split(rng)
+        rngs = jax.random.split(step_rng, S)
+        new_vals = []
+        for s, (key, lg) in enumerate(logits.items()):
+            lg = lg.at[:, :num_special_tokens].set(NEG_INF)
+            if forbid_ids and s in forbid_ids:
+                lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
+            new_vals.append(
+                _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
+            )
+        samples = jnp.stack(new_vals, axis=-1)
+        row_mask = unmask_mask[:, idx]
+        updated = jnp.where(row_mask, samples, out_tokens[:, idx])
+        out_tokens = out_tokens.at[:, idx].set(updated)
+    return out_tokens
 
 
 def ar_generate(

@@ -27,11 +27,13 @@ def top_p(logits: jnp.ndarray, thres: float = 0.9) -> jnp.ndarray:
 
 
 def top_k(logits: jnp.ndarray, thres: float = 0.9, k: Optional[int] = None) -> jnp.ndarray:
-    """Top-k filtering (sampling.py:28-33). `k` must be static under jit."""
+    """Top-k filtering (sampling.py:28-33). `k` must be static under jit.
+    Uses lax.top_k (partial selection) — much cheaper than a full vocab sort
+    on TPU."""
     if k is None:
         k = math.ceil((1 - thres) * logits.shape[-1])
     k = max(1, min(int(k), logits.shape[-1]))
-    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 

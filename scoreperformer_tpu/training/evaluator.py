@@ -22,6 +22,29 @@ def _masked_mean(values, mask):
     return (values * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+@EVALUATORS.register("EmbeddingClassifierEvaluator")
+class EmbeddingClassifierEvaluator:
+    """(classifiers/evaluator.py:6-19)"""
+
+    def __init__(self, tokenizer=None, mode=None, **kwargs):
+        pass
+
+    def __call__(self, labels, logits):
+        if isinstance(logits, dict):
+            metrics = {}
+            correct, total = 0.0, 0.0
+            for i, (key, lg) in enumerate(logits.items()):
+                preds = jnp.argmax(lg, axis=-1)
+                acc = (preds == labels[..., i]).mean()
+                metrics[f"accuracy/{key}"] = acc
+                correct = correct + (preds == labels[..., i]).sum()
+                total = total + labels[..., i].size
+            metrics["accuracy"] = correct / jnp.maximum(total, 1)
+            return metrics
+        preds = jnp.argmax(logits, axis=-1)
+        return {"accuracy": (preds == labels).astype(jnp.float32).mean()}
+
+
 @EVALUATORS.register("ScorePerformerEvaluator")
 class ScorePerformerEvaluator:
     def __init__(

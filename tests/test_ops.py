@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scoreperformer_tpu.models.layers import alibi_slopes
+from scoreperformer_tpu.ops.flash_attention import flash_attention_alibi
+from scoreperformer_tpu.ops.sampling import filter_logits_and_sample, top_a, top_k, top_p
+
+
+def ref_attention(q, k, v, slopes, mask, causal):
+    b, h, tq, d = q.shape
+    kh = jnp.broadcast_to(k, (b, h, k.shape[2], d))
+    vh = jnp.broadcast_to(v, (b, h, v.shape[2], d))
+    s = jnp.einsum("bhid,bhjd->bhij", q, kh) * (d**-0.5)
+    i = jnp.arange(tq)[:, None]
+    j = jnp.arange(k.shape[2])[None, :]
+    s = s - slopes[None, :, None, None] * jnp.abs(j - i)[None, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    if causal:
+        s = jnp.where((j <= i)[None, None], s, -1e30)
+    return jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, -1), vh)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "b,h,t,d,hk,causal",
+        [
+            (2, 4, 256, 64, 1, True),  # MQA causal (the flagship decoder shape)
+            (2, 4, 200, 64, 4, False),  # full heads, ragged length, encoder
+            (1, 2, 64, 32, 1, True),
+        ],
+    )
+    def test_matches_reference(self, b, h, t, d, hk, causal):
+        rng = np.random.RandomState(0)
+        q = jnp.array(rng.randn(b, h, t, d), jnp.float32)
+        k = jnp.array(rng.randn(b, hk, t, d), jnp.float32)
+        v = jnp.array(rng.randn(b, hk, t, d), jnp.float32)
+        slopes = alibi_slopes(h)
+        mask = jnp.array(rng.rand(b, t) > 0.1).at[:, 0].set(True)
+
+        expected = ref_attention(q, k, v, slopes, mask, causal)
+        got = flash_attention_alibi(q, k, v, slopes, mask, causal=causal, interpret=True)
+        np.testing.assert_allclose(np.array(expected), np.array(got), atol=1e-5)
+
+    def test_no_alibi(self):
+        rng = np.random.RandomState(1)
+        q = jnp.array(rng.randn(1, 2, 128, 32), jnp.float32)
+        k = jnp.array(rng.randn(1, 1, 128, 32), jnp.float32)
+        v = jnp.array(rng.randn(1, 1, 128, 32), jnp.float32)
+        slopes = jnp.zeros(2)
+        mask = jnp.ones((1, 128), bool)
+        expected = ref_attention(q, k, v, slopes, mask, True)
+        got = flash_attention_alibi(q, k, v, slopes, mask, causal=True, interpret=True)
+        np.testing.assert_allclose(np.array(expected), np.array(got), atol=1e-5)
+
+
+class TestSampling:
+    def test_top_k_keeps_k_largest(self):
+        logits = jnp.array([[1.0, 5.0, 3.0, 2.0, 4.0]])
+        out = np.array(top_k(logits, k=2))
+        assert np.isfinite(out[0, [1, 4]]).all()
+        assert np.isinf(out[0, [0, 2, 3]]).all()
+
+    def test_top_p_keeps_nucleus(self):
+        logits = jnp.log(jnp.array([[0.5, 0.3, 0.1, 0.05, 0.05]]))
+        out = np.array(top_p(logits, thres=0.7))
+        # 0.5 + 0.3 = 0.8 > 0.7, but exclusive-cum rule keeps both (reference
+        # pads the removal mask by one)
+        assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+        assert np.isinf(out[0, 2:]).all()
+
+    def test_top_a(self):
+        logits = jnp.log(jnp.array([[0.6, 0.3, 0.01, 0.09]]))
+        out = np.array(top_a(logits, min_p_pow=2.0, min_p_ratio=0.1))
+        # limit = 0.6^2 * 0.1 = 0.036 -> probs below are removed
+        assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+        assert np.isinf(out[0, 2])
+
+    def test_filter_and_sample_deterministic_peak(self):
+        logits = jnp.array([[0.0, 20.0, 0.0]])
+        sample = filter_logits_and_sample(jax.random.PRNGKey(0), logits, top_k, {"k": 1})
+        assert int(sample[0]) == 1
+        probs = filter_logits_and_sample(
+            jax.random.PRNGKey(0), logits, top_k, {"k": 1}, sample=False
+        )
+        assert float(probs[0, 1]) > 0.999
