@@ -68,6 +68,46 @@ def prob2bool(rng: np.random.RandomState, prob) -> bool:
     return bool(rng.random_sample() < float(prob))
 
 
+def split_composer_metadata(reference_metadata, splits, seed=None):
+    """Composer-aware train/eval splitting keeping all performances of a score
+    in one split (datasets/utils.py:61-109)."""
+    rng = np.random.RandomState(seed)
+    data = {split: dict() for split in splits}
+
+    for comp, score_perf in reference_metadata.items():
+        comp_meta_rep = []
+        items = list(score_perf.items())
+        rng.shuffle(items)
+        score_perf = dict(items)
+
+        for score, perfs in score_perf.items():
+            comp_meta_rep.extend([score] * len(perfs))
+
+        if len(comp_meta_rep) > 10:
+            start = 0
+            for i, (split, ratio) in enumerate(splits.items()):
+                end = min(len(comp_meta_rep), start + round(ratio * len(comp_meta_rep)))
+                if i == len(splits) - 1:
+                    end = len(comp_meta_rep)
+                if end < len(comp_meta_rep) and comp_meta_rep[end - 1] == comp_meta_rep[-1]:
+                    while end > 0 and comp_meta_rep[end] == comp_meta_rep[end - 1]:
+                        end -= 1
+                else:
+                    while end < len(comp_meta_rep) and comp_meta_rep[end - 1] == comp_meta_rep[end]:
+                        end += 1
+                for score in np.unique(comp_meta_rep[start:end]).tolist():
+                    data[split][score] = score_perf[score]
+                start = end
+        else:
+            keys = np.array(list(splits.keys()))
+            probs = np.array(list(splits.values()), dtype=float)
+            probs = probs / probs.sum()
+            for score, perfs in score_perf.items():
+                data[str(rng.choice(keys, p=probs))][score] = perfs
+
+    return {split: dict(sorted(d.items())) for split, d in data.items()}
+
+
 # ---- sample containers (score_performance.py:31-66) ----
 
 

@@ -1,0 +1,114 @@
+"""End-to-end performance rendering: score MIDI → expressive performance MIDI.
+
+The counterpart of the reference's Colab demo flow: tokenize the score, build
+a masked deadpan performance, condition on encoder style embeddings, unmask
+the performance streams with the compiled MixedLM decoder, and detokenize.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..midi import MidiScore
+from ..models import ScorePerformerModel
+from ..models.factory import build_scoreperformer_config
+from ..models.wrappers import mixedlm_unmask
+from ..ops.sampling import top_k
+from ..tokenizers import MASK, TokSequence
+from ..training.checkpoint import load_checkpoint
+
+
+def load_model_from_checkpoint(path: str):
+    """Rebuild the model from a checkpoint's embedded config
+    (counterpart of models/base.py:42-52 from_pretrained)."""
+    ckpt = load_checkpoint(path)
+    assert "model_config" in ckpt, f"checkpoint at {path} carries no model config"
+    cfg = build_scoreperformer_config(ckpt["model_config"])
+    model = ScorePerformerModel(config=cfg)
+    variables = {"params": ckpt["params"]}
+    return model, variables, cfg
+
+
+PERF_STREAMS = ("Velocity", "Tempo", "RelOnsetDev", "RelPerfDuration")
+
+
+def render_performance(
+    model,
+    variables,
+    tokenizer,
+    score_midi: MidiScore,
+    rng: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+    greedy: bool = False,
+    filter_kwargs: Optional[Dict] = None,
+    style_embeddings: Optional[np.ndarray] = None,
+    output_path: Optional[str] = None,
+) -> MidiScore:
+    """Render a score into an expressive performance.
+
+    Style defaults to the encoders' deadpan-performance embedding (rendering
+    "from the score alone"); pass `style_embeddings` to steer.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    score_seq = tokenizer.score_midi_to_tokens(score_midi)
+    deadpan = tokenizer.score_tokens_as_performance(score_seq)
+    T = len(deadpan.ids)
+
+    # segment maps (bar/beat/onset) as in the dataset (score_performance.py:186-191)
+    ticks_data = tokenizer.compute_ticks(score_seq.ids, compute_beat_ticks=True)
+    z = tokenizer.zero_token
+    bars = score_seq.ids[:, 0] - z
+    beats = np.searchsorted(ticks_data["beat"], ticks_data["note_on"], side="right") - 1
+    unique_onsets, onset_counts = np.unique(ticks_data["note_on"], return_counts=True)
+    onsets = np.arange(len(unique_onsets)).repeat(onset_counts)
+    bars, beats, onsets = (s - s[0] + z for s in (bars, beats, onsets))
+
+    perf = jnp.asarray(deadpan.ids)[None]
+    score = jnp.asarray(score_seq.ids)[None]
+    mask = jnp.ones((1, T), bool)
+
+    score_emb, style_emb, _ = model.apply(
+        variables,
+        perf,
+        mask,
+        score,
+        mask,
+        jnp.asarray(bars)[None],
+        jnp.asarray(beats)[None],
+        jnp.asarray(onsets)[None],
+        method="encode_embeddings",
+        rngs={"mmd": jax.random.PRNGKey(0)},
+    )
+    if style_embeddings is not None:
+        style_emb = jnp.asarray(style_embeddings)[None]
+
+    mask_dims = [tokenizer.types_idx[k] for k in PERF_STREAMS if k in tokenizer.types_idx]
+    tokens = np.asarray(deadpan.ids).copy()
+    masked_all = tokens.copy()
+    masked_all[:, mask_dims] = MASK
+    tokens_in = tokens.copy()
+    tokens_in[1:, mask_dims] = MASK  # first note anchors the rendition
+
+    out = mixedlm_unmask(
+        model,
+        variables,
+        jnp.asarray(tokens_in)[None],
+        jnp.asarray(masked_all)[None],
+        rng=rng,
+        style_embeddings=style_emb,
+        context=score_emb,
+        temperature=temperature,
+        filter_fn=top_k,
+        filter_kwargs=filter_kwargs,
+        greedy=greedy,
+    )
+    out_tokens = np.asarray(out[0])
+
+    perf_midi = tokenizer.performance_tokens_to_midi(
+        TokSequence(ids=out_tokens), output_path=output_path
+    )
+    return perf_midi

@@ -200,6 +200,41 @@ def resample_midi(midi: MidiScore, ticks_per_beat: int, inplace: bool = True) ->
     return midi
 
 
+def shift_midi_notes(
+    midi: MidiScore,
+    time_shift: float = 0.0,
+    offset: float = 0.0,
+    inplace: bool = True,
+) -> MidiScore:
+    """Shift notes (and control changes) later than `offset` seconds by
+    `time_shift` seconds, re-snapping to the tick grid (utils.py:127-177)."""
+    from ..utils import find_closest
+    from .timing import tick_to_time_map
+
+    midi = midi if inplace else midi.copy()
+    ttt = tick_to_time_map(midi.tempos, midi.max_tick * 4, midi.ticks_per_beat)
+
+    for track in midi.tracks:
+        notes = track.notes
+        start_times = ttt[np.clip(notes.start, 0, len(ttt) - 1)]
+        end_times = ttt[np.clip(notes.end, 0, len(ttt) - 1)]
+        new_start = find_closest(ttt, start_times + time_shift)
+        new_end = find_closest(ttt, end_times + time_shift)
+        new_end = np.where(new_start == new_end, new_end + 1, new_end)
+        apply = start_times >= offset
+        notes.start = np.where(apply, new_start, notes.start).astype(np.int64)
+        notes.end = np.where(apply, new_end, notes.end).astype(np.int64)
+        if len(track.control_changes):
+            cc = track.control_changes
+            times = ttt[np.clip(cc[:, 0], 0, len(ttt) - 1)]
+            new_ticks = find_closest(ttt, times + time_shift)
+            cc[:, 0] = np.where(times >= offset, new_ticks, cc[:, 0])
+
+    midi.recompute_max_tick()
+    midi.max_tick += 1
+    return midi
+
+
 def merge_tracks(midi: MidiScore) -> MidiScore:
     """Merge all tracks into one (preprocess.py single-track path)."""
     if len(midi.tracks) <= 1:

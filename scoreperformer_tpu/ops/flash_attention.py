@@ -27,7 +27,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    slope_ref,  # (1, 1) SMEM: this (b,h)'s ALiBi slope
+    slope_ref,  # (b*h,) SMEM: per-(b,h) ALiBi slopes (full array, program-indexed)
     q_ref,  # (1, block_q, d) VMEM
     k_ref,  # (1, t_k, d) VMEM (full keys for this b[,h])
     v_ref,  # (1, t_k, d) VMEM
@@ -44,7 +44,7 @@ def _flash_kernel(
     q_start = q_block * block_q
 
     q = q_ref[0].astype(jnp.float32) * scale
-    slope = slope_ref[0, 0]
+    slope = slope_ref[pl.program_id(0)]
 
     d = q.shape[-1]
     m_i = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -137,7 +137,7 @@ def flash_attention_alibi(
         v_f = v_p.reshape(b * h, t_kp, d)
         kv_index = lambda bh, qb: (bh, 0, 0)
 
-    slopes_f = jnp.tile(slopes.reshape(-1).astype(jnp.float32), b).reshape(b * h, 1)
+    slopes_f = jnp.tile(slopes.reshape(-1).astype(jnp.float32), b)  # (b*h,)
     num_q_blocks = t_qp // block_q
 
     kernel = functools.partial(
@@ -153,7 +153,7 @@ def flash_attention_alibi(
         kernel,
         grid=(b * h, num_q_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, qb: (bh, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full slopes array
             pl.BlockSpec((1, block_q, d), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_kp, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_kp, d), kv_index, memory_space=pltpu.VMEM),

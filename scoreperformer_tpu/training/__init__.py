@@ -2,6 +2,7 @@ from .callbacks import (
     CallbackHandler,
     DefaultFlowCallback,
     EpochReproducibilityCallback,
+    JSONLMetricsCallback,
     PrinterCallback,
     ProgressCallback,
     TrainerCallback,

@@ -185,6 +185,35 @@ class ProgressCallback(TrainerCallback):
             print(f"[step {state.global_step} epoch {state.epoch:.2f}] {parts}", flush=True)
 
 
+class JSONLMetricsCallback(TrainerCallback):
+    """Dashboard-logger substitute: appends every log event to a JSONL file
+    (the reference writes TensorBoard scalars, integrations.py:29-50; this
+    environment ships no tensorboard)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._fh = None
+
+    def on_train_begin(self, config, state, control, **kwargs):
+        import os
+
+        path = self.path or os.path.join(config.output_dir, "metrics.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._fh = open(path, "a")
+
+    def on_log(self, config, state, control, logs=None, **kwargs):
+        if logs and self._fh:
+            self._fh.write(
+                json.dumps({"step": state.global_step, "epoch": state.epoch, **logs}) + "\n"
+            )
+            self._fh.flush()
+
+    def on_train_end(self, config, state, control, **kwargs):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
 class EpochReproducibilityCallback(TrainerCallback):
     """Reseed dataset/collator at each epoch with (epoch+1)*seed
     (callbacks.py:505-517)."""

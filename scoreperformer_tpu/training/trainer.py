@@ -149,7 +149,9 @@ class Trainer:
 
         self.state = TrainerState()
         self.control = TrainerControl()
-        cb = [DefaultFlowCallback()]
+        from .callbacks import JSONLMetricsCallback
+
+        cb = [DefaultFlowCallback(), JSONLMetricsCallback()]
         if not config.disable_progress:
             cb.append(ProgressCallback(config.progress_metrics, config.progress_steps))
         cb += callbacks or []
@@ -432,6 +434,11 @@ class Trainer:
             model_config=to_dict(self.model_config) if self.model_config is not None else None,
         )
         self.state.save_to_json(os.path.join(path, "trainer_state.json"))
+        # ship the tokenizer config so checkpoints are renderable standalone
+        dataset = self.train_dataset or self.eval_dataset
+        tokenizer = getattr(dataset, "tokenizer", None)
+        if tokenizer is not None:
+            tokenizer.save(os.path.join(path, "tokenizer.json"))
         return path
 
 
