@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from scoreperformer_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    params_shardings,
+    shard_params,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == len(jax.devices())
+
+
+class TestDataParallelEquivalence:
+    def test_sharded_loss_matches_single_device(self):
+        """Forward loss on an 8-device data-parallel mesh must equal the
+        single-device result (XLA inserts the collectives)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("tm", "tests/test_models.py")
+        tm = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tm)
+
+        cfg = tm.build_scoreperformer_config(tm.model_config())
+        model = tm.ScorePerformerModel(config=cfg)
+        batch = tm.make_batch(b=8, t=16, seed=2)
+
+        kwargs = dict(
+            perf_mask=batch["mask"], score=batch["score"], score_mask=batch["mask"],
+            masked_perf=batch["masked_perf"], labels=batch["labels"],
+            bars=batch["bars"], beats=batch["beats"], onsets=batch["onsets"],
+            directions=batch["directions"], deadpan_mask=batch["deadpan"],
+        )
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+        variables = model.init(rngs, batch["perf"], deterministic=True, **kwargs)
+
+        def loss_fn(params, perf, kw):
+            out = model.apply({"params": params}, perf, **kw, deterministic=True,
+                              rngs={"mmd": jax.random.PRNGKey(3)})
+            return out.loss
+
+        # single device
+        loss_single = jax.jit(loss_fn)(variables["params"], batch["perf"], kwargs)
+
+        # 8-device data-parallel mesh
+        mesh = make_mesh(8, 1)
+        params = shard_params(variables["params"], mesh)
+        bs = batch_sharding(mesh)
+        perf = jax.device_put(batch["perf"], bs)
+        kw_sharded = {
+            k: (jax.device_put(v, bs) if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == 8 else v)
+            for k, v in kwargs.items()
+        }
+        loss_sharded = jax.jit(loss_fn)(params, perf, kw_sharded)
+
+        np.testing.assert_allclose(
+            float(loss_single), float(loss_sharded), rtol=2e-5
+        )
+
+    def test_tensor_parallel_rules_applied(self):
+        mesh = make_mesh(4, 2)
+        params = {
+            "layer_0_attn": {"to_q": {"kernel": jnp.zeros((32, 64))}},
+            "other": {"kernel": jnp.zeros((32, 30))},  # not divisible by 2? 30 yes
+            "bias": jnp.zeros((7,)),
+        }
+        shardings = params_shardings(params, mesh)
+        q_spec = shardings["layer_0_attn"]["to_q"]["kernel"].spec
+        assert q_spec == P(None, "model")
+        assert shardings["bias"].spec == P()
