@@ -104,7 +104,7 @@ class Attention(nn.Module):
             and context is None
             and attn_mask is None
             and self.max_attend is None
-            and deterministic  # inference only: the kernel has no VJP yet
+            and (deterministic or self.dropout == 0.0)  # kernel has no attn-dropout
             and (self.rel_pos is None or self.alibi_symmetric or self.causal)
             and jax.default_backend() == "tpu"
         ):

@@ -33,6 +33,7 @@ def _flash_kernel(
     v_ref,  # (1, t_k, d) VMEM
     mask_ref,  # (1, 1, t_k) VMEM bool: key validity
     o_ref,  # (1, block_q, d) VMEM
+    lse_ref=None,  # (1, block_q) VMEM: logsumexp rows (VJP residual)
     *,
     block_q: int,
     block_k: int,
@@ -88,44 +89,106 @@ def _flash_kernel(
     m_i, l_i, acc = jax.lax.fori_loop(0, last_block, body, (m_i, l_i, acc))
 
     o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0] = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
 
 
-def flash_attention_alibi(
-    q: jnp.ndarray,  # (b, h, t_q, d)
-    k: jnp.ndarray,  # (b, hk, t_k, d); hk == h or 1 (MQA)
-    v: jnp.ndarray,
-    slopes: jnp.ndarray,  # (h,) ALiBi slopes (use zeros for plain attention)
-    mask: Optional[jnp.ndarray] = None,  # (b, t_k) key validity
-    causal: bool = True,
-    scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _flash_bwd_kernel(
+    slope_ref,  # (b*h,) SMEM
+    q_ref,  # (1, t_q, d)
+    k_ref,  # (1, t_k, d)
+    v_ref,  # (1, t_k, d)
+    mask_ref,  # (1, 1, t_k)
+    lse_ref,  # (1, t_q)
+    do_ref,  # (1, t_q, d)
+    delta_ref,  # (1, t_q): rowsum(dO * O)
+    dq_ref,  # (1, t_q, d)
+    dk_ref,  # (1, t_k, d)
+    dv_ref,  # (1, t_k, d)
+    dslope_ref,  # (1, 1, 128)
+    *,
+    block_k: int,
+    t_q: int,
+    t_k: int,
+    causal: bool,
+    scale: float,
+):
+    """Flash backward for one (b, h): iterate key blocks with the whole query
+    range resident (t_q fits VMEM at this model's lengths)."""
+    bh = pl.program_id(0)
+    slope = slope_ref[bh]
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    dq = jnp.zeros((t_q, q.shape[-1]), jnp.float32)
+    dslope = jnp.zeros((), jnp.float32)
+
+    num_k_blocks = t_k // block_k
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t_q, block_k), 0)
+
+    def body(kb, carry):
+        dq, dslope = carry
+        k_start = kb * block_k
+        k = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (t_q, block_k), 1)
+        dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale - slope * dist
+        kmask = mask_ref[0, 0, pl.ds(k_start, block_k)][None, :]
+        valid = kmask
+        if causal:
+            valid = valid & (k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+
+        p = jnp.exp(s - lse)  # (t_q, bk)
+
+        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+
+        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        dslope = dslope + jnp.sum(ds * (-dist))
+
+        dk_ref[0, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, pl.ds(k_start, block_k), :] = dv.astype(dv_ref.dtype)
+        return dq, dslope
+
+    dq, dslope = jax.lax.fori_loop(0, num_k_blocks, body, (dq, dslope))
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    # store the scalar in every lane; the wrapper reads lane 0
+    dslope_ref[0, 0, :] = jnp.full((128,), dslope, jnp.float32)
+
+
+def _pad_to(x, axis, mult):
+    rem = x.shape[axis] % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - rem)
+    return jnp.pad(x, pad)
+
+
+def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret,
+                   return_lse=False):
     b, h, t_q, d = q.shape
     hk = k.shape[1]
     t_k = k.shape[2]
-    scale = scale if scale is not None else d**-0.5
 
     block_q = max(8, min(block_q, t_q))
     block_k = max(128, min(block_k, t_k))
 
-    def pad_to(x, axis, mult):
-        rem = x.shape[axis] % mult
-        if rem == 0:
-            return x
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (0, mult - rem)
-        return jnp.pad(x, pad)
-
-    q_p = pad_to(q, 2, block_q)
-    k_p = pad_to(k, 2, block_k)
-    v_p = pad_to(v, 2, block_k)
+    q_p = _pad_to(q, 2, block_q)
+    k_p = _pad_to(k, 2, block_k)
+    v_p = _pad_to(v, 2, block_k)
     t_qp, t_kp = q_p.shape[2], k_p.shape[2]
-
-    if mask is None:
-        mask = jnp.ones((b, t_k), dtype=bool)
-    mask_p = pad_to(mask, 1, block_k)
+    mask_p = _pad_to(maskf, 1, block_k) > 0
 
     q_f = q_p.reshape(b * h, t_qp, d)
     if hk == 1:
@@ -149,8 +212,24 @@ def flash_attention_alibi(
         scale=scale,
     )
 
-    out = pl.pallas_call(
-        kernel,
+    out_shapes = [jax.ShapeDtypeStruct((b * h, t_qp, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM)
+    ]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, t_qp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb), memory_space=pltpu.VMEM)
+        )
+
+    def wrapped_kernel(*refs):
+        if return_lse:
+            kernel(*refs[:5], refs[5], refs[6])
+        else:
+            kernel(*refs[:5], refs[5], None)
+
+    result = pl.pallas_call(
+        wrapped_kernel,
         grid=(b * h, num_q_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full slopes array
@@ -159,11 +238,127 @@ def flash_attention_alibi(
             pl.BlockSpec((1, t_kp, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_kp), lambda bh, qb: (bh // h, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_qp, d), q.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shapes if return_lse else out_shapes[0],
         interpret=interpret,
     )(slopes_f, q_f, k_f, v_f, mask_p[:, None, :])
 
-    return out.reshape(b, h, t_qp, d)[:, :, :t_q]
+    if return_lse:
+        out, lse = result
+        return out.reshape(b, h, t_qp, d)[:, :, :t_q], lse.reshape(b, h, t_qp)[:, :, :t_q]
+    return result.reshape(b, h, t_qp, d)[:, :, :t_q]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret)
+
+
+def _flash_attention_fwd(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(
+        q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret, return_lse=True
+    )
+    return out, (q, k, v, slopes, maskf, out, lse)
+
+
+def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, slopes, maskf, out, lse = residuals
+    b, h, t_q, d = q.shape
+    hk = k.shape[1]
+    t_k = k.shape[2]
+
+    bk = max(128, min(block_k, t_k))
+    q_p = _pad_to(q, 2, 8)
+    do_p = _pad_to(g, 2, 8)
+    out_p = _pad_to(out, 2, 8)
+    lse_p = _pad_to(lse, 2, 8)
+    k_p = _pad_to(k, 2, bk)
+    v_p = _pad_to(v, 2, bk)
+    t_qp, t_kp = q_p.shape[2], k_p.shape[2]
+    mask_p = _pad_to(maskf, 1, bk) > 0
+    # padded lse rows are 0 -> p = exp(NEG_INF - 0) = 0, harmless
+
+    delta = (do_p * out_p).sum(-1)  # (b, h, t_qp)
+
+    q_f = q_p.reshape(b * h, t_qp, d)
+    do_f = do_p.reshape(b * h, t_qp, d)
+    lse_f = lse_p.reshape(b * h, t_qp)
+    delta_f = delta.reshape(b * h, t_qp)
+
+    kb_full = jnp.broadcast_to(k_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
+    vb_full = jnp.broadcast_to(v_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
+    slopes_f = jnp.tile(slopes.reshape(-1).astype(jnp.float32), b)
+
+    kernel = functools.partial(
+        _flash_bwd_kernel,
+        block_k=bk,
+        t_q=t_qp,
+        t_k=t_kp,
+        causal=causal,
+        scale=scale,
+    )
+
+    dq, dk, dv, dslope_l = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_kp), lambda bh: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_qp), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_qp), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t_kp, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t_kp, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(slopes_f, q_f, kb_full, vb_full, mask_p[:, None, :], lse_f, do_f, delta_f)
+
+    dq = dq.reshape(b, h, t_qp, d)[:, :, :t_q]
+    dk = dk.reshape(b, h, t_kp, d)[:, :, :t_k]
+    dv = dv.reshape(b, h, t_kp, d)[:, :, :t_k]
+    if hk == 1:  # MQA: sum over query heads
+        dk = dk.sum(axis=1, keepdims=True)
+        dv = dv.sum(axis=1, keepdims=True)
+
+    dslopes = dslope_l[:, 0, 0].reshape(b, h).sum(axis=0).astype(slopes.dtype)
+    dmask = jnp.zeros_like(maskf)
+
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dslopes, dmask
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention_alibi(
+    q: jnp.ndarray,  # (b, h, t_q, d)
+    k: jnp.ndarray,  # (b, hk, t_k, d); hk == h or 1 (MQA)
+    v: jnp.ndarray,
+    slopes: jnp.ndarray,  # (h,) ALiBi slopes (use zeros for plain attention)
+    mask: Optional[jnp.ndarray] = None,  # (b, t_k) key validity
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash attention (custom VJP with a Pallas backward that
+    recomputes P from the saved logsumexp — the standard flash recipe)."""
+    b, h, t_q, d = q.shape
+    scale = scale if scale is not None else d**-0.5
+    if mask is None:
+        mask = jnp.ones((b, k.shape[2]), dtype=bool)
+    maskf = mask.astype(jnp.float32)
+    return _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret)
