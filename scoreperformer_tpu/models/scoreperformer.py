@@ -414,7 +414,10 @@ class PerformerModel(nn.Module):
             name="transformer",
         )
 
-    def __call__(self, perf, mask=None, labels=None, masked_perf=None, deterministic=True):
+    def __call__(
+        self, perf, mask=None, labels=None, masked_perf=None, deterministic=True,
+        compute_loss=True,
+    ) -> ScorePerformerOutput:
         mode = self.config.mode
         seq, labels, masked, _, _, mask = shift_for_lm(
             mode, perf, labels, masked_perf, None, None, mask, False
@@ -427,7 +430,29 @@ class PerformerModel(nn.Module):
         )
         loss = None
         losses = {}
-        if labels is not None and out.logits is not None:
+        if compute_loss and labels is not None and out.logits is not None:
             loss, stream_losses = lm_losses(out.logits, labels)
             losses = {f"loss/{k}": v for k, v in stream_losses.items()}
-        return out, loss, losses
+        return ScorePerformerOutput(perf_decoder=out, loss=loss, losses=losses)
+
+    # decode-path methods mirroring ScorePerformerModel so the same wrappers
+    # (ar_generate / mixedlm_unmask / mlm_unmask) drive a plain Performer
+    @property
+    def perf_decoder(self):
+        return self.transformer
+
+    def decode_step(
+        self, seq_tokens, masked_tokens=None, style_embeddings=None, context=None,
+        caches=None, cache_index=None, mask=None,
+    ):
+        return self.transformer(
+            seq_tokens,
+            mask=mask,
+            x_extra=[masked_tokens] if masked_tokens is not None else None,
+            caches=caches,
+            cache_index=cache_index,
+            deterministic=True,
+        )
+
+    def init_decoder_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        return self.transformer.init_cache(batch, max_len, dtype)

@@ -90,7 +90,7 @@ def _flash_kernel(
 
     o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0] = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
+        lse_ref[0, 0] = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
 
 
 def _flash_bwd_kernel(
@@ -99,9 +99,9 @@ def _flash_bwd_kernel(
     k_ref,  # (1, t_k, d)
     v_ref,  # (1, t_k, d)
     mask_ref,  # (1, 1, t_k)
-    lse_ref,  # (1, t_q)
+    lse_ref,  # (1, 1, t_q)
     do_ref,  # (1, t_q, d)
-    delta_ref,  # (1, t_q): rowsum(dO * O)
+    delta_ref,  # (1, 1, t_q): rowsum(dO * O)
     dq_ref,  # (1, t_q, d)
     dk_ref,  # (1, t_k, d)
     dv_ref,  # (1, t_k, d)
@@ -120,8 +120,8 @@ def _flash_bwd_kernel(
 
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
 
     dq = jnp.zeros((t_q, q.shape[-1]), jnp.float32)
     dslope = jnp.zeros((), jnp.float32)
@@ -217,9 +217,9 @@ def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, inte
         pl.BlockSpec((1, block_q, d), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM)
     ]
     if return_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((b * h, t_qp), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, 1, t_qp), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb), memory_space=pltpu.VMEM)
         )
 
     def wrapped_kernel(*refs):
@@ -245,7 +245,10 @@ def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, inte
 
     if return_lse:
         out, lse = result
-        return out.reshape(b, h, t_qp, d)[:, :, :t_q], lse.reshape(b, h, t_qp)[:, :, :t_q]
+        return (
+            out.reshape(b, h, t_qp, d)[:, :, :t_q],
+            lse.reshape(b, h, t_qp)[:, :, :t_q],
+        )
     return result.reshape(b, h, t_qp, d)[:, :, :t_q]
 
 
@@ -282,8 +285,8 @@ def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, residuals, 
 
     q_f = q_p.reshape(b * h, t_qp, d)
     do_f = do_p.reshape(b * h, t_qp, d)
-    lse_f = lse_p.reshape(b * h, t_qp)
-    delta_f = delta.reshape(b * h, t_qp)
+    lse_f = lse_p.reshape(b * h, 1, t_qp)
+    delta_f = delta.reshape(b * h, 1, t_qp)
 
     kb_full = jnp.broadcast_to(k_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
     vb_full = jnp.broadcast_to(v_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
@@ -307,9 +310,9 @@ def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, residuals, 
             pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_kp), lambda bh: (bh // h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_qp), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_qp), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_qp), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_qp), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),

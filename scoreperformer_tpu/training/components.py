@@ -25,18 +25,28 @@ def inject_data_config(model_cfg: Dict[str, Any], dataset) -> Dict[str, Any]:
     """(reference model.py:374-394)"""
     model_cfg = copy.deepcopy(model_cfg)
     model_cfg["num_tokens"] = dataset.tokenizer.performance_sizes
-    model_cfg["num_score_tokens"] = dataset.tokenizer.score_sizes
 
     token_values = {
         key: value.tolist()
         for key, value in dataset.tokenizer.token_values(normalize=True).items()
     }
+
+    if "transformer" in model_cfg and "perf_decoder" not in model_cfg:
+        # standalone Performer: one transformer config node
+        model_cfg["transformer"].setdefault("token_embeddings", {})
+        model_cfg["transformer"]["token_embeddings"]["token_values"] = token_values
+        return model_cfg
+
+    model_cfg["num_score_tokens"] = dataset.tokenizer.score_sizes
     for key in ("score_encoder", "perf_encoder", "perf_decoder"):
         if model_cfg.get(key) is not None:
             model_cfg[key].setdefault("token_embeddings", {})
             model_cfg[key]["token_embeddings"]["token_values"] = token_values
 
-    if model_cfg.get("classifiers") is not None and dataset.performance_directions is not None:
+    if (
+        model_cfg.get("classifiers") is not None
+        and getattr(dataset, "performance_directions", None) is not None
+    ):
         model_cfg["classifiers"]["num_classes"] = dict(dataset.performance_direction_sizes)
         model_cfg["classifiers"]["class_samples"] = {
             k: v for k, v in dataset.get_direction_class_weights()[1].items()
@@ -124,6 +134,12 @@ class ExperimentComponents:
             EpochReproducibilityCallback(dataset=self.train_dataset, collator=self.collator)
         )
 
+        model_name = self.config["model"].get("_name_", "ScorePerformer")
+        if model_name == "Performer":
+            from ..data.performance import performer_model_inputs as input_fn
+        else:
+            from ..data.collators import scoreperformer_model_inputs as input_fn
+
         self.trainer = Trainer(
             model=self.model,
             config=tcfg,
@@ -133,6 +149,7 @@ class ExperimentComponents:
             evaluator=self.evaluator,
             callbacks=callbacks,
             model_config=self.model_config,
+            input_fn=input_fn,
         )
         return self.trainer
 
