@@ -62,7 +62,7 @@ def _flash_kernel(
         k = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (bq, bk)
 
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         # ALiBi: -slope * |i - j| (embeddings.py:295-299, symmetric variant)
@@ -78,7 +78,7 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = alpha * l_i + p.sum(axis=-1, keepdims=True)
-        acc_new = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_new = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         return m_new, l_new, acc_new
 
     if causal:
@@ -138,7 +138,7 @@ def _flash_bwd_kernel(
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (t_q, block_k), 1)
         dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale - slope * dist
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale - slope * dist
         kmask = mask_ref[0, 0, pl.ds(k_start, block_k)][None, :]
         valid = kmask
         if causal:
@@ -147,12 +147,12 @@ def _flash_bwd_kernel(
 
         p = jnp.exp(s - lse)  # (t_q, bk)
 
-        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         ds = p * (dp - delta)
 
-        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale
+        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale
         dslope = dslope + jnp.sum(ds * (-dist))
 
         dk_ref[0, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
