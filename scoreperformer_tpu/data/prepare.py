@@ -1,0 +1,206 @@
+"""Dataset preparation: (score.mid, performance.mid[, score.musicxml]) pairs →
+the on-disk training layout (metadata.json + config.json + token JSONs +
+direction maps + aux data).
+
+The reference repo ships only pre-tokenized datasets; this is the missing
+offline pipeline, built on this framework's tokenizers. Score↔performance
+note alignment uses onset-ordered pitch matching (greedy per onset window)
+when note counts differ; exactly-matching streams align positionally.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..midi import MidiScore, read_midi
+from ..tokenizers import TOKENIZERS, TokenizerConfig, TokSequence
+from ..utils import dump_json
+
+
+def align_performance_to_score(
+    score_notes: np.ndarray,  # (N, 2): [onset_tick, pitch] in score order
+    perf_notes: np.ndarray,  # (M, 2): [onset_tick, pitch] in perf order
+    max_onset_window: float = 2.0,  # beats
+    ticks_per_beat: int = 480,
+) -> np.ndarray:
+    """Greedy alignment: for each score note (in order) find the nearest
+    unmatched performance note of the same pitch within an onset window.
+    Returns, per score note, the matched perf index or -1 (unperformed)."""
+    window = max_onset_window * ticks_per_beat
+    by_pitch: Dict[int, List[int]] = {}
+    for j, (_, pitch) in enumerate(perf_notes):
+        by_pitch.setdefault(int(pitch), []).append(j)
+    used = np.zeros(len(perf_notes), dtype=bool)
+
+    # rough global time mapping: normalize onsets to [0, 1]
+    s_span = max(1, score_notes[:, 0].max() - score_notes[:, 0].min())
+    p_span = max(1, perf_notes[:, 0].max() - perf_notes[:, 0].min()) if len(perf_notes) else 1
+
+    out = np.full(len(score_notes), -1, dtype=np.int64)
+    for i, (s_tick, pitch) in enumerate(score_notes):
+        cands = by_pitch.get(int(pitch), [])
+        s_rel = (s_tick - score_notes[:, 0].min()) / s_span
+        best, best_dist = -1, None
+        for j in cands:
+            if used[j]:
+                continue
+            p_rel = (perf_notes[j, 0] - perf_notes[:, 0].min()) / p_span
+            dist = abs(p_rel - s_rel) * s_span
+            if dist > window:
+                continue
+            if best_dist is None or dist < best_dist:
+                best, best_dist = j, dist
+        if best >= 0:
+            used[best] = True
+            out[i] = best
+    return out
+
+
+def build_aligned_performance(
+    tokenizer,
+    score_midi: MidiScore,
+    perf_midi: MidiScore,
+    score_seq: TokSequence,
+) -> Tuple[MidiScore, Optional[np.ndarray]]:
+    """Make the performance MIDI note-for-note alignable with the score:
+    if counts differ, unmatched score notes are inserted as silent (velocity
+    0) notes at their tempo-mapped times, and extra perf notes are dropped.
+    Returns (aligned perf midi, alignment or None when positional)."""
+    from ..midi import NoteArray, Track
+
+    perf_work = perf_midi.copy()
+    tokenizer.preprocess_performance_midi(perf_work)
+    perf_notes = perf_work.all_notes().sort("time")
+
+    ticks = tokenizer.compute_ticks(score_seq.ids, score_midi.ticks_per_beat)["note_on"]
+    pitches = tokenizer.decode_token_type(score_seq.ids, "Pitch")
+
+    matches = align_performance_to_score(
+        np.stack([ticks, pitches], 1),
+        np.stack([perf_notes.start, perf_notes.pitch], 1),
+        ticks_per_beat=score_midi.ticks_per_beat,
+    )
+
+    # tempo-scaled fallback times for unperformed notes
+    scale = (
+        (perf_notes.start.max() - perf_notes.start.min()) / max(1, ticks.max() - ticks.min())
+        if len(perf_notes)
+        else 1.0
+    )
+
+    n = len(ticks)
+    new_pitch = np.zeros(n, np.int32)
+    new_vel = np.zeros(n, np.int32)
+    new_start = np.zeros(n, np.int64)
+    new_end = np.zeros(n, np.int64)
+    for i in range(n):
+        j = matches[i]
+        if j >= 0:
+            new_pitch[i] = perf_notes.pitch[j]
+            new_vel[i] = perf_notes.velocity[j]
+            new_start[i] = perf_notes.start[j]
+            new_end[i] = perf_notes.end[j]
+        else:  # silent note at the tempo-mapped position
+            new_pitch[i] = pitches[i]
+            new_vel[i] = 0
+            new_start[i] = int(ticks[i] * scale)
+            dur = tokenizer.decode_token_type(score_seq.ids[i : i + 1], "Duration")[0]
+            tps = score_midi.ticks_per_beat / tokenizer.max_beat_res
+            new_end[i] = new_start[i] + max(1, int(dur * tps * scale))
+
+    aligned = MidiScore(ticks_per_beat=perf_midi.ticks_per_beat)
+    aligned.tracks.append(
+        Track(notes=NoteArray(new_pitch, new_vel, new_start, new_end))
+    )
+    aligned.tempos = perf_work.tempos.copy()
+    aligned.time_sigs = score_midi.time_sigs.copy()
+    aligned.recompute_max_tick()
+
+    # after building, the encode path sorts by (time, track, pitch); provide an
+    # explicit alignment mapping perf rows back to score order
+    sort_order = np.lexsort((new_pitch, np.zeros(n), new_start))
+    alignment = np.argsort(sort_order)  # perf-sorted -> score order
+    return aligned, alignment
+
+
+def prepare_dataset(
+    pairs: Sequence[Tuple[str, str, List[str]]],  # (score_name, score.mid, [perf.mid...])
+    output_root: str,
+    tokenization: str = "SPMupleWindow",
+    tokenizer_config: Optional[TokenizerConfig] = None,
+    directions: Optional[Dict[str, str]] = None,  # score_name -> musicxml path
+    splits: Optional[Dict[str, float]] = None,
+    seed: int = 23,
+) -> str:
+    """Tokenize score/performance MIDI pairs into a training dataset."""
+    os.makedirs(output_root, exist_ok=True)
+    tokenizer = TOKENIZERS[tokenization](
+        tokenizer_config or TokenizerConfig(additional_params={"max_bar_embedding": 256})
+    )
+    tokenizer.save(os.path.join(output_root, "config.json"))
+
+    metadata: Dict[str, List[str]] = {}
+    alignments: Dict[str, list] = {}
+    bars: Dict[str, int] = {}
+    initial_tempos: Dict[str, float] = {}
+    directions_dict: Dict[str, list] = {}
+
+    for score_name, score_path, perf_paths in pairs:
+        score_midi = read_midi(score_path)
+        score_seq = tokenizer.score_midi_to_tokens(score_midi)
+        dump_json({"ids": score_seq.ids.tolist()}, os.path.join(output_root, score_name + ".json"))
+
+        perf_names = []
+        for pi, perf_path in enumerate(perf_paths):
+            perf_name = f"{score_name}_perf_{pi}"
+            perf_midi = read_midi(perf_path)
+            aligned, alignment = build_aligned_performance(
+                tokenizer, score_midi, perf_midi, score_seq
+            )
+            perf_seq = tokenizer.performance_midi_to_tokens(
+                aligned, score_seq, alignment=alignment, preprocess=False
+            )
+            dump_json(
+                {
+                    "ids": perf_seq.ids.tolist(),
+                    "meta": {"initial_tempo": perf_seq.meta.get("initial_tempo")},
+                },
+                os.path.join(output_root, perf_name + ".json"),
+            )
+            perf_names.append(perf_name)
+            from .datasets import get_num_bars
+
+            bars[perf_name] = get_num_bars(perf_seq.ids, tokenizer)
+            if perf_seq.meta.get("initial_tempo") is not None:
+                initial_tempos[perf_name] = float(perf_seq.meta["initial_tempo"])
+        metadata[score_name] = perf_names
+
+        if directions and score_name in directions:
+            from .musicxml_directions import parse_directions
+
+            parsed = parse_directions(directions[score_name])
+            directions_dict[score_name] = [d for part in parsed for d in part]
+
+    if splits:
+        names = sorted(metadata)
+        rng = np.random.RandomState(seed)
+        rng.shuffle(names)
+        out = {}
+        start = 0
+        items = list(splits.items())
+        for i, (split, ratio) in enumerate(items):
+            end = len(names) if i == len(items) - 1 else start + max(1, round(ratio * len(names)))
+            out[split] = {n: metadata[n] for n in names[start:end]}
+            start = end
+        dump_json(out, os.path.join(output_root, "metadata.json"))
+    else:
+        dump_json(metadata, os.path.join(output_root, "metadata.json"))
+
+    dump_json(bars, os.path.join(output_root, "bars.json"))
+    dump_json(initial_tempos, os.path.join(output_root, "initial_tempos.json"))
+    if directions_dict:
+        dump_json(directions_dict, os.path.join(output_root, "score_directions.json"))
+
+    return output_root
