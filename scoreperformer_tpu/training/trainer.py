@@ -187,10 +187,11 @@ class Trainer:
             "latent_dropout": jax.random.PRNGKey(1),
             "mmd": jax.random.PRNGKey(2),
         }
-        variables = jax.eval_shape(
-            lambda: self.model.init(rngs, **_to_jnp(sample_batch), deterministic=True)
-        )
-        variables = self.model.init(rngs, **_to_jnp(sample_batch), deterministic=True)
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # catastrophically slow on remote-compile TPU platforms
+        variables = jax.jit(
+            lambda r, b: self.model.init(r, **b, deterministic=True)
+        )(rngs, _to_jnp(sample_batch))
         self.params = variables["params"]
         self.params = shard_params(self.params, self.mesh)
         return self.params

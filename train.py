@@ -12,6 +12,14 @@ def main():
     parser.add_argument("--eval-only", action="store_true")
     args = parser.parse_args()
 
+    import jax
+
+    try:  # persistent compile cache (crucial on remote-compile TPU platforms)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from scoreperformer_tpu.training import ExperimentComponents
 
     components = ExperimentComponents.from_yaml(args.root, args.name)
