@@ -329,12 +329,13 @@ class ScorePerformanceDataset:
 
     # ---- sampling internals ----
 
-    def _get_augmentations(self, meta, is_noisy_perf=False):
+    def _get_augmentations(self, meta, is_noisy_perf=False, rng=None):
+        rng = rng if rng is not None else self._rng
         if meta is None:
-            if self.sample and prob2bool(self._rng, self.augment_performance) and not is_noisy_perf:
-                return self.processor.sample_augmentations(self._rng)
+            if self.sample and prob2bool(rng, self.augment_performance) and not is_noisy_perf:
+                return self.processor.sample_augmentations(rng)
             elif self.sample and self.noisy_performance and is_noisy_perf:
-                return self.processor.sample_augmentations(self._rng, multiplier=self.noise_strength)
+                return self.processor.sample_augmentations(rng, multiplier=self.noise_strength)
             return None
         elif is_noisy_perf:
             return meta.noisy_augmentations
@@ -351,10 +352,11 @@ class ScorePerformanceDataset:
         mask = self.processor.compute_valid_pitch_mask(seq)
         return seq[mask], mask
 
-    def get(self, idx=None, meta=None) -> ScorePerformanceSample:
-        """(score_performance.py:312-527)"""
+    def get(self, idx=None, meta=None, rng=None) -> ScorePerformanceSample:
+        """(score_performance.py:312-527). Pass an explicit `rng` for
+        thread-safe parallel sampling."""
         assert idx is not None or meta is not None
-        rng = self._rng
+        rng = rng if rng is not None else self._rng
 
         if meta is None:
             perf_idx = int(np.where(idx >= self._sample_ids)[0][-1])
@@ -475,7 +477,7 @@ class ScorePerformanceDataset:
             score_seq[:, bar_col] += bar_offset
             perf_seq[:, bar_col] += bar_offset
 
-        augmentations = self._get_augmentations(meta)
+        augmentations = self._get_augmentations(meta, rng=rng)
         score_seq, mask = self._augment_sequence(score_seq, augmentations, is_perf=False)
         perf_seq, _ = self._augment_sequence(perf_seq, augmentations, is_perf=True)
 
@@ -486,7 +488,7 @@ class ScorePerformanceDataset:
         # noisy performance (score_performance.py:446-458)
         noisy_perf_seq = noisy_augmentations = None
         if self.noisy_performance:
-            noisy_augmentations = self._get_augmentations(meta, is_noisy_perf=True)
+            noisy_augmentations = self._get_augmentations(meta, is_noisy_perf=True, rng=rng)
             noisy_perf_seq = perf_seq.copy()
             noisy_perf_seq, _ = self._augment_sequence(noisy_perf_seq, noisy_augmentations)
             if noisy_perf_seq.shape[0] < perf_seq.shape[0]:

@@ -127,9 +127,9 @@ class PerformanceDataset:
     def reseed(self, seed: int):
         self._rng = np.random.RandomState(seed)
 
-    def get(self, idx=None, meta=None) -> PerformanceSample:
+    def get(self, idx=None, meta=None, rng=None) -> PerformanceSample:
         assert idx is not None or meta is not None
-        rng = self._rng
+        rng = rng if rng is not None else self._rng
 
         if meta is None:
             perf_idx = int(np.where(idx >= self._sample_ids)[0][-1])

@@ -48,6 +48,7 @@ class TrainerConfig(ModuleConfig):
 
     shuffle: bool = True
     drop_last: bool = True
+    num_workers: int = 4
 
     epochs: int = 100
     max_steps: int = -1
@@ -290,19 +291,64 @@ class Trainer:
     # ---- data ----
 
     def _iter_batches(self, dataset, batch_size: int, shuffle: bool, epoch: int):
+        """Host batching with `num_workers` parallel producers: upcoming
+        batches are sampled/collated while the device runs the current step."""
+        import threading
+
         n = len(dataset)
         order = np.arange(n)
         if shuffle:
             epoch_rng = np.random.RandomState(self.config.seed * (epoch + 1))
             epoch_rng.shuffle(order)
         num_batches = n // batch_size if self.config.drop_last else -(-n // batch_size)
-        for b in range(num_batches):
+        num_batches = max(1, num_batches) if n > 0 else 0
+
+        collator_lock = threading.Lock()
+        has_collator_rng = hasattr(self.collator, "_rng")
+
+        def make(b):
             idx = order[b * batch_size : (b + 1) * batch_size]
-            if len(idx) < batch_size:  # repeat to keep static shapes
-                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-            samples = [dataset[int(i)] for i in idx]
-            batch = self.input_fn(self.collator(samples))
-            yield jax.device_put(batch, self._batch_sharding)
+            if len(idx) < batch_size:  # wrap around to keep static shapes
+                extra = np.resize(order, batch_size - len(idx))
+                idx = np.concatenate([idx, extra])
+            # per-batch RNG keeps parallel sampling deterministic & thread-safe
+            rng = np.random.RandomState(
+                (self.config.seed * 1_000_003 + epoch * 10_007 + b) % (2**31 - 1)
+            )
+            if hasattr(dataset, "get"):
+                samples = [dataset.get(int(i), rng=rng) for i in idx]
+            else:
+                samples = [dataset[int(i)] for i in idx]
+            if has_collator_rng:
+                with collator_lock:
+                    batch = self.input_fn(self.collator(samples))
+            else:
+                batch = self.input_fn(self.collator(samples))
+            return jax.device_put(batch, self._batch_sharding)
+
+        # parallel producers (the python sampling/augmentation path dominates
+        # step time otherwise); numpy releases the GIL for the heavy parts.
+        # NB: per-sample RNG draws reorder across workers — per-epoch
+        # reproducibility is preserved by the epoch reseed, not sample order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, int(getattr(self.config, "num_workers", 4)))
+        if workers == 1:
+            for b in range(num_batches):
+                yield make(b)
+            return
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            inflight = {}
+            depth = workers + 1
+            for b in range(min(depth, num_batches)):
+                inflight[b] = pool.submit(make, b)
+            for b in range(num_batches):
+                batch = inflight.pop(b).result()
+                nxt = b + depth
+                if nxt < num_batches:
+                    inflight[nxt] = pool.submit(make, nxt)
+                yield batch
 
     # ---- loops ----
 
