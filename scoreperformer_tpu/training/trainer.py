@@ -79,25 +79,46 @@ class TrainerConfig(ModuleConfig):
     mesh_data: Optional[int] = None  # None = all devices on the data axis
     mesh_model: int = 1
     bf16_compute: bool = False
+    debug_nans: bool = False  # jax_debug_nans toggle (SURVEY §5 sanitizers)
+    # jax.profiler trace of [profile_start_step, +profile_num_steps) steps
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
 
 class Accumulator:
-    """Running means (trainer_utils.py:15-65)."""
+    """Running means (trainer_utils.py:15-65).
+
+    Values may be device arrays: they are buffered as-is and fetched in ONE
+    batched `jax.device_get` at `means()` time. Converting per step would
+    force a host↔device round trip every step and serialize the pipeline —
+    on a tunneled chip that sync dominates the step wall time entirely.
+    """
 
     def __init__(self):
         self.sums: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self._pending: List[Dict[str, Any]] = []
 
-    def update(self, values: Dict[str, float]):
-        for key, value in values.items():
-            self.sums[key] = self.sums.get(key, 0.0) + float(value)
-            self.counts[key] = self.counts.get(key, 0) + 1
+    def update(self, values: Dict[str, Any]):
+        self._pending.append(dict(values))
+
+    def _flush(self):
+        if not self._pending:
+            return
+        for values in jax.device_get(self._pending):
+            for key, value in values.items():
+                self.sums[key] = self.sums.get(key, 0.0) + float(value)
+                self.counts[key] = self.counts.get(key, 0) + 1
+        self._pending = []
 
     def means(self) -> Dict[str, float]:
+        self._flush()
         return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
 
     def reset(self):
         self.sums, self.counts = {}, {}
+        self._pending = []
 
 
 def _cast_tree(tree, dtype):
@@ -361,8 +382,32 @@ class Trainer:
         )
         self.callback_handler.on_train_begin(config, self.state, self.control)
 
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        # preemption-safe save: SIGTERM/SIGINT request a graceful stop; the
+        # `finally` below then writes checkpoint_last (reference only guards
+        # exceptions via try/finally, trainer.py:203-213 — TPU pods preempt
+        # with SIGTERM, so handle the signal too).
+        import signal
+
+        def _request_stop(signum, frame):
+            self.control.should_training_stop = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not in the main thread (e.g. under a test runner)
+                pass
+
+        profiling = config.profile_dir is not None
+        profile_active = False
+
         accumulator = Accumulator()
         start_epoch = int(self.state.epoch)
+        self._last_log_time = time.perf_counter()
+        self._last_log_step = self.state.global_step
         try:
             for epoch in range(start_epoch, config.epochs):
                 self.control._new_epoch()
@@ -374,16 +419,31 @@ class Trainer:
                     self.control._new_step()
                     self.callback_handler.on_step_begin(config, self.state, self.control)
 
+                    if profiling and self.state.global_step == config.profile_start_step:
+                        jax.profiler.start_trace(config.profile_dir)
+                        profile_active = True
+
                     step_rng = jax.random.fold_in(self.rng, self.state.global_step)
                     t0 = time.perf_counter()
-                    self.params, self.opt_state, metrics = self._train_step(
-                        self.params, self.opt_state, batch, step_rng
-                    )
-                    metrics = {k: float(v) for k, v in metrics.items()}
+                    with jax.profiler.StepTraceAnnotation(
+                        "train", step_num=self.state.global_step
+                    ):
+                        self.params, self.opt_state, metrics = self._train_step(
+                            self.params, self.opt_state, batch, step_rng
+                        )
+                    # metrics stay on device until the next log flush — a
+                    # per-step float() would sync the pipeline every step
                     metrics["stats/time"] = time.perf_counter() - t0
                     accumulator.update(metrics)
 
                     self.state.global_step += 1
+                    if (
+                        profile_active
+                        and self.state.global_step
+                        >= config.profile_start_step + config.profile_num_steps
+                    ):
+                        jax.profiler.stop_trace()
+                        profile_active = False
                     self.state.epoch = epoch + (
                         (self.state.global_step % self.steps_per_epoch) / self.steps_per_epoch
                         or 1.0
@@ -401,6 +461,12 @@ class Trainer:
                 if self.control.should_training_stop:
                     break
         finally:
+            if profile_active:
+                jax.profiler.stop_trace()
+            import signal as _signal
+
+            for sig, handler in prev_handlers.items():
+                _signal.signal(sig, handler)
             # final save guarantee (reference trainer.py:203-213)
             self.save_checkpoint(name="checkpoint_last")
             self.callback_handler.on_train_end(config, self.state, self.control)
@@ -411,6 +477,16 @@ class Trainer:
         if self.control.should_log:
             logs = {f"{prefix}/{k}": v for k, v in accumulator.means().items()}
             logs[f"{prefix}/lr"] = float(self._lr_schedule(self.state.global_step))
+            # true pipelined throughput (wall clock between log flushes);
+            # stats/time above is per-step *dispatch* time only
+            now = time.perf_counter()
+            dsteps = self.state.global_step - getattr(self, "_last_log_step", 0)
+            if dsteps > 0 and hasattr(self, "_last_log_time"):
+                logs[f"{prefix}/steps_per_sec"] = dsteps / max(
+                    1e-9, now - self._last_log_time
+                )
+            self._last_log_time = now
+            self._last_log_step = self.state.global_step
             self.state.log_history.append({"step": self.state.global_step, **logs})
             self.callback_handler.on_log(self.config, self.state, self.control, logs=logs)
             accumulator.reset()
@@ -459,7 +535,7 @@ class Trainer:
             if self.config.eval_batches is not None and i >= self.config.eval_batches:
                 break
             metrics = self._eval_step(self.params, batch, jax.random.PRNGKey(0))
-            accumulator.update({k: float(v) for k, v in metrics.items()})
+            accumulator.update(metrics)  # fetched in one device_get at means()
         metrics = {f"eval/{k}": v for k, v in accumulator.means().items()}
         self.state.log_history.append({"step": self.state.global_step, **metrics})
         self.callback_handler.on_log(self.config, self.state, self.control, logs=metrics)

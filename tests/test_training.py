@@ -181,3 +181,54 @@ class TestTrainer:
         assert mask["score_encoder"]["k"] is False
         mask_all = freeze_mask(params, [])
         assert mask_all["score_encoder"]["k"] is True
+
+    def test_sigterm_preemption_saves_last_checkpoint(self, setup, tmp_path):
+        """SIGTERM mid-training drains gracefully and writes checkpoint_last."""
+        import os
+        import signal
+
+        from scoreperformer_tpu.training.callbacks import TrainerCallback
+
+        dataset, collator, model, model_config = setup
+
+        class Preempt(TrainerCallback):
+            def on_step_end(self, config, state, control, **kwargs):
+                if state.global_step == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        config = TrainerConfig(
+            output_dir=str(tmp_path / "run3"), epochs=50, batch_size=2,
+            save_strategy="no", eval_strategy="no", log_strategy="no",
+            disable_progress=True,
+        )
+        trainer = Trainer(model=model, config=config, train_dataset=dataset,
+                          eval_dataset=None, collator=collator,
+                          model_config=model_config, callbacks=[Preempt()])
+        state = trainer.train()
+
+        # stopped well before 50 epochs' worth of steps
+        assert state.global_step <= 4, state.global_step
+        ckpt = load_checkpoint(str(tmp_path / "run3" / "checkpoint_last"))
+        assert ckpt["trainer_state"]["global_step"] == state.global_step
+
+    def test_profiler_trace_written(self, setup, tmp_path):
+        """profile_dir captures a jax.profiler trace of the configured steps."""
+        import os
+
+        dataset, collator, model, model_config = setup
+        trace_dir = str(tmp_path / "trace")
+        config = TrainerConfig(
+            output_dir=str(tmp_path / "run4"), epochs=1, batch_size=2,
+            save_strategy="no", eval_strategy="no", log_strategy="no",
+            disable_progress=True,
+            profile_dir=trace_dir, profile_start_step=0, profile_num_steps=1,
+        )
+        trainer = Trainer(model=model, config=config, train_dataset=dataset,
+                          eval_dataset=None, collator=collator,
+                          model_config=model_config)
+        state = trainer.train()
+        assert state.global_step >= 1
+        files = [
+            os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs
+        ]
+        assert files, "no profiler trace written"
