@@ -264,7 +264,9 @@ def _enable_compile_cache():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32)
+    # throughput knee from the batch sweep on v5e-1 (BASELINE.md): 32 -> 107k,
+    # 128 -> 236k, 256 -> 285k, 512 -> 302k, 1024 -> 294k tokens/s
+    parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--seq", type=int, default=256)
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--baseline", type=float, default=None)
