@@ -35,6 +35,40 @@ def load_model_from_checkpoint(path: str):
 PERF_STREAMS = ("Velocity", "Tempo", "RelOnsetDev", "RelPerfDuration")
 
 
+def prepare_render_inputs(tokenizer, score_midi: MidiScore) -> Dict[str, np.ndarray]:
+    """Host-side render preamble: score tokens, deadpan performance, segment
+    maps, and the two masked decoder input streams (dataset counterpart:
+    score_performance.py:186-191). Shared by `render_performance` and the
+    serving layer."""
+    score_seq = tokenizer.score_midi_to_tokens(score_midi)
+    deadpan = tokenizer.score_tokens_as_performance(score_seq)
+
+    ticks_data = tokenizer.compute_ticks(score_seq.ids, compute_beat_ticks=True)
+    z = tokenizer.zero_token
+    bars = score_seq.ids[:, 0] - z
+    beats = np.searchsorted(ticks_data["beat"], ticks_data["note_on"], side="right") - 1
+    unique_onsets, onset_counts = np.unique(ticks_data["note_on"], return_counts=True)
+    onsets = np.arange(len(unique_onsets)).repeat(onset_counts)
+    bars, beats, onsets = (s - s[0] + z for s in (bars, beats, onsets))
+
+    mask_dims = [tokenizer.types_idx[k] for k in PERF_STREAMS if k in tokenizer.types_idx]
+    tokens = np.asarray(deadpan.ids).copy()
+    masked_all = tokens.copy()
+    masked_all[:, mask_dims] = MASK
+    tokens_in = tokens.copy()
+    tokens_in[1:, mask_dims] = MASK  # first note anchors the rendition
+
+    return {
+        "score_ids": np.asarray(score_seq.ids),
+        "deadpan_ids": np.asarray(deadpan.ids),
+        "tokens_in": tokens_in,
+        "masked_all": masked_all,
+        "bars": np.asarray(bars),
+        "beats": np.asarray(beats),
+        "onsets": np.asarray(onsets),
+    }
+
+
 def render_performance(
     model,
     variables,
@@ -54,22 +88,13 @@ def render_performance(
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    score_seq = tokenizer.score_midi_to_tokens(score_midi)
-    deadpan = tokenizer.score_tokens_as_performance(score_seq)
-    T = len(deadpan.ids)
+    inputs = prepare_render_inputs(tokenizer, score_midi)
+    T = len(inputs["deadpan_ids"])
 
-    # segment maps (bar/beat/onset) as in the dataset (score_performance.py:186-191)
-    ticks_data = tokenizer.compute_ticks(score_seq.ids, compute_beat_ticks=True)
-    z = tokenizer.zero_token
-    bars = score_seq.ids[:, 0] - z
-    beats = np.searchsorted(ticks_data["beat"], ticks_data["note_on"], side="right") - 1
-    unique_onsets, onset_counts = np.unique(ticks_data["note_on"], return_counts=True)
-    onsets = np.arange(len(unique_onsets)).repeat(onset_counts)
-    bars, beats, onsets = (s - s[0] + z for s in (bars, beats, onsets))
-
-    perf = jnp.asarray(deadpan.ids)[None]
-    score = jnp.asarray(score_seq.ids)[None]
+    perf = jnp.asarray(inputs["deadpan_ids"])[None]
+    score = jnp.asarray(inputs["score_ids"])[None]
     mask = jnp.ones((1, T), bool)
+    bars, beats, onsets = inputs["bars"], inputs["beats"], inputs["onsets"]
 
     score_emb, style_emb, _ = model.apply(
         variables,
@@ -86,18 +111,11 @@ def render_performance(
     if style_embeddings is not None:
         style_emb = jnp.asarray(style_embeddings)[None]
 
-    mask_dims = [tokenizer.types_idx[k] for k in PERF_STREAMS if k in tokenizer.types_idx]
-    tokens = np.asarray(deadpan.ids).copy()
-    masked_all = tokens.copy()
-    masked_all[:, mask_dims] = MASK
-    tokens_in = tokens.copy()
-    tokens_in[1:, mask_dims] = MASK  # first note anchors the rendition
-
     out = mixedlm_unmask(
         model,
         variables,
-        jnp.asarray(tokens_in)[None],
-        jnp.asarray(masked_all)[None],
+        jnp.asarray(inputs["tokens_in"])[None],
+        jnp.asarray(inputs["masked_all"])[None],
         rng=rng,
         style_embeddings=style_emb,
         context=score_emb,

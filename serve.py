@@ -1,0 +1,116 @@
+"""JSON-lines render server: load a checkpoint once, serve many requests.
+
+Usage:
+  python serve.py --checkpoint results/.../checkpoint_best [--tokenizer t.json]
+                  [--bucket 128] [--max-len 2048] [--port 7512]
+
+Without --port: one JSON request per stdin line, one JSON response per stdout
+line (pipe-friendly; logs go to stderr). With --port: a threaded TCP server
+speaking the same line protocol.
+
+Request:  {"id": 1, "score": "in.mid" | "score_b64": "<base64 SMF>",
+           "out": "out.mid" (optional — omitted returns "midi_b64"),
+           "temperature": 1.0, "greedy": false, "seed": 0}
+Special:  {"cmd": "ping"}  /  {"cmd": "shutdown"}
+Response: {"id": 1, "ok": true, "out": "out.mid" | "midi_b64": "...",
+           "notes": N, "wall_ms": T, "padded_to": B}
+
+Scores are padded to length buckets so the compiled encoder + decode scan are
+reused across requests (see scoreperformer_tpu/inference/server.py).
+"""
+import argparse
+import json
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description="ScorePerformer-TPU render server")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--bucket", type=int, default=128)
+    parser.add_argument("--max-len", type=int, default=2048)
+    parser.add_argument("--port", type=int, default=None, help="TCP mode on this port")
+    parser.add_argument("--host", default="127.0.0.1")
+    args = parser.parse_args()
+
+    import os
+
+    import jax
+
+    # honor an explicit platform request even when site customization
+    # pre-registered another backend
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from scoreperformer_tpu.inference.server import RenderServer
+
+    server = RenderServer(
+        args.checkpoint, tokenizer_path=args.tokenizer,
+        bucket=args.bucket, max_len=args.max_len,
+    )
+    print(f"ready (backend={jax.default_backend()}, bucket={args.bucket}, "
+          f"max_len={server.max_len})", file=sys.stderr, flush=True)
+
+    if args.port is None:
+        _serve_stdio(server)
+    else:
+        _serve_tcp(server, args.host, args.port)
+
+
+def _serve_stdio(server):
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"ok": False, "error": f"bad json: {e}"}), flush=True)
+            continue
+        if req.get("cmd") == "shutdown":
+            print(json.dumps({"id": req.get("id"), "ok": True, "bye": True}), flush=True)
+            return
+        print(json.dumps(server.handle_request(req)), flush=True)
+
+
+def _serve_tcp(server, host, port):
+    import socketserver
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                line = raw.decode("utf-8", "replace").strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"ok": False, "error": f"bad json: {e}"}
+                else:
+                    if req.get("cmd") == "shutdown":
+                        self.wfile.write(
+                            (json.dumps({"id": req.get("id"), "ok": True, "bye": True}) + "\n").encode()
+                        )
+                        self.server.shutdown()
+                        return
+                    resp = server.handle_request(req)
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+
+    class TCPServer(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with TCPServer((host, port), Handler) as srv:
+        print(f"listening on {host}:{port}", file=sys.stderr, flush=True)
+        srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Serving layer: RenderServer bucketing + the serve.py line protocol."""
+import base64
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from test_render import tiny_cfg
+
+from scoreperformer_tpu.configs import to_dict
+from scoreperformer_tpu.data import (
+    LocalScorePerformanceDataset,
+    MixedLMScorePerformanceCollator,
+    scoreperformer_model_inputs,
+)
+from scoreperformer_tpu.data.synthetic import build_synthetic_dataset, synthetic_score
+from scoreperformer_tpu.midi import write_midi
+from scoreperformer_tpu.models import MODELS
+from scoreperformer_tpu.training import inject_data_config
+from scoreperformer_tpu.training.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    root = str(tmp / "data")
+    build_synthetic_dataset(root, n_scores=1, n_perfs_per_score=1, n_bars=6, seed=13,
+                            with_directions=False)
+    dataset = LocalScorePerformanceDataset(root=root, max_seq_len=80, bar_sliding_window=4)
+    cfg_dict = inject_data_config(tiny_cfg(), dataset)
+    model, model_cfg = MODELS.get("ScorePerformer")(**cfg_dict)
+
+    collator = MixedLMScorePerformanceCollator(
+        mask_ignore_token_ids=[0, 1, 2, 3],
+        mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
+    )
+    import jax.numpy as jnp
+
+    inputs = {k: jnp.asarray(v) for k, v in scoreperformer_model_inputs(collator([dataset[0]])).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, **inputs, deterministic=True)
+
+    path = save_checkpoint(str(tmp / "ckpt"), jax.device_get(variables["params"]),
+                           model_config=to_dict(model_cfg))
+    dataset.tokenizer.save(os.path.join(path, "tokenizer.json"))
+    return path
+
+
+class TestRenderServer:
+    def test_handle_requests_and_bucketing(self, checkpoint, tmp_path):
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+
+        pong = server.handle_request({"id": 0, "cmd": "ping"})
+        assert pong == {"id": 0, "ok": True, "pong": True, "requests": 0}
+
+        # two scores of different lengths -> same bucket -> one compiled shape
+        score_a = synthetic_score(np.random.RandomState(3), n_bars=6)
+        score_b = synthetic_score(np.random.RandomState(4), n_bars=5)
+        path_a = str(tmp_path / "a.mid")
+        path_b = str(tmp_path / "b.mid")
+        write_midi(score_a, path_a)
+        write_midi(score_b, path_b)
+
+        out_a = str(tmp_path / "perf_a.mid")
+        ra = server.handle_request(
+            {"id": 1, "score": path_a, "out": out_a, "greedy": True}
+        )
+        assert ra["ok"], ra
+        assert ra["out"] == out_a and os.path.exists(out_a)
+        assert ra["notes"] > 0 and ra["padded_to"] % 64 == 0
+
+        rb = server.handle_request({"id": 2, "score": path_b, "greedy": True})
+        assert rb["ok"], rb
+        assert "midi_b64" in rb and len(base64.b64decode(rb["midi_b64"])) > 0
+        assert len(server.stats["buckets"]) >= 1
+
+        # b64 input path mirrors the file path
+        with open(path_a, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode("ascii")
+        rc = server.handle_request({"id": 3, "score_b64": b64, "greedy": True, "seed": 1})
+        assert rc["ok"] and rc["notes"] > 0
+
+        # identical score (path vs b64) => identical bucket; all buckets are
+        # multiples of the bucket size
+        assert ra["padded_to"] == rc["padded_to"]
+        assert rb["padded_to"] % 64 == 0
+
+        # errors are reported, not fatal
+        bad = server.handle_request({"id": 4})
+        assert bad["ok"] is False and "error" in bad
+        missing = server.handle_request({"id": 5, "score": "/nonexistent.mid"})
+        assert missing["ok"] is False
+        after = server.handle_request({"id": 6, "cmd": "ping"})
+        assert after["ok"] and after["requests"] == 3
+
+    def test_render_deterministic_with_seed(self, checkpoint, tmp_path):
+        from scoreperformer_tpu.inference import RenderServer
+        from scoreperformer_tpu.midi import read_midi
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        score = synthetic_score(np.random.RandomState(7), n_bars=4)
+        p = str(tmp_path / "s.mid")
+        write_midi(score, p)
+        r1 = server.handle_request({"id": 1, "score": p, "seed": 5})
+        r2 = server.handle_request({"id": 2, "score": p, "seed": 5})
+        assert r1["ok"] and r2["ok"]
+        assert r1["midi_b64"] == r2["midi_b64"]
+        perf = read_midi(base64.b64decode(r1["midi_b64"]))
+        assert perf.num_notes == r1["notes"]
+
+
+def test_serve_stdio_protocol(checkpoint, tmp_path):
+    """Drive serve.py end-to-end through its real stdin/stdout surface."""
+    score = synthetic_score(np.random.RandomState(3), n_bars=4)
+    score_path = str(tmp_path / "score.mid")
+    out_path = str(tmp_path / "perf.mid")
+    write_midi(score, score_path)
+
+    requests = "\n".join([
+        json.dumps({"id": 1, "cmd": "ping"}),
+        json.dumps({"id": 2, "score": score_path, "out": out_path, "greedy": True}),
+        json.dumps({"id": 3, "cmd": "shutdown"}),
+    ]) + "\n"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "serve.py"), "--checkpoint", checkpoint,
+         "--bucket", "64"],
+        input=requests, capture_output=True, text=True, timeout=560, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert lines[0] == {"id": 1, "ok": True, "pong": True, "requests": 0}
+    assert lines[1]["ok"] is True and lines[1]["out"] == out_path
+    assert os.path.exists(out_path)
+    assert lines[2] == {"id": 3, "ok": True, "bye": True}
