@@ -275,7 +275,7 @@ class ScorePerformerGenerator:
             )
             latents = self.model.apply(
                 self.variables,
-                jnp.asarray(perf_embeddings)[None],
+                jnp.asarray(np.asarray(perf_embeddings)[None]),
                 bars=bars,
                 beats=beats,
                 onsets=onsets,
@@ -437,7 +437,7 @@ class ScorePerformerGenerator:
                     if greedy:
                         row[s] = int(np.argmax(lg))
                     else:
-                        filtered = filter_fn(jnp.asarray(lg)[None], **(filter_kwargs or {}))
+                        filtered = filter_fn(jnp.asarray(lg[None]), **(filter_kwargs or {}))
                         row[s] = int(
                             jax.random.categorical(srngs[s], filtered / temperature, axis=-1)[0]
                         )

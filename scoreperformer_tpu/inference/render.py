@@ -91,9 +91,12 @@ def render_performance(
     inputs = prepare_render_inputs(tokenizer, score_midi)
     T = len(inputs["deadpan_ids"])
 
-    perf = jnp.asarray(inputs["deadpan_ids"])[None]
-    score = jnp.asarray(inputs["score_ids"])[None]
-    mask = jnp.ones((1, T), bool)
+    # batch dims are added in numpy before transfer: a device-side `[None]`
+    # is an eager broadcast op outside jit (a compile round trip per call on
+    # remote-compile TPU platforms)
+    perf = jnp.asarray(inputs["deadpan_ids"][None])
+    score = jnp.asarray(inputs["score_ids"][None])
+    mask = jnp.asarray(np.ones((1, T), bool))
     bars, beats, onsets = inputs["bars"], inputs["beats"], inputs["onsets"]
 
     score_emb, style_emb, _ = model.apply(
@@ -102,20 +105,20 @@ def render_performance(
         mask,
         score,
         mask,
-        jnp.asarray(bars)[None],
-        jnp.asarray(beats)[None],
-        jnp.asarray(onsets)[None],
+        jnp.asarray(np.asarray(bars)[None]),
+        jnp.asarray(np.asarray(beats)[None]),
+        jnp.asarray(np.asarray(onsets)[None]),
         method="encode_embeddings",
         rngs={"mmd": jax.random.PRNGKey(0)},
     )
     if style_embeddings is not None:
-        style_emb = jnp.asarray(style_embeddings)[None]
+        style_emb = jnp.asarray(np.asarray(style_embeddings)[None])
 
     out = mixedlm_unmask(
         model,
         variables,
-        jnp.asarray(inputs["tokens_in"])[None],
-        jnp.asarray(inputs["masked_all"])[None],
+        jnp.asarray(inputs["tokens_in"][None]),
+        jnp.asarray(inputs["masked_all"][None]),
         rng=rng,
         style_embeddings=style_emb,
         context=score_emb,

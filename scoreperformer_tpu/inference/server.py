@@ -65,7 +65,10 @@ class RenderServer:
                 method="encode_embeddings", rngs={"mmd": jax.random.PRNGKey(0)},
             )
 
-        def unmask(variables, tokens_in, masked_all, style, context, rng, valid_len, temperature, greedy):
+        def unmask(variables, tokens_in, masked_all, style, context, delta, rng, valid_len, temperature, greedy):
+            # style steering inside the compiled path: a host-side eager add
+            # would trigger a full remote compile on some TPU platforms
+            style = style + delta[None, None, :]
             return mixedlm_unmask(
                 model, variables, tokens_in, masked_all, rng=rng,
                 style_embeddings=style, context=context, valid_len=valid_len,
@@ -90,6 +93,38 @@ class RenderServer:
         width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, width, constant_values=value)
 
+    def warmup(self, lengths, greedy_variants=(False,)) -> None:
+        """Pre-compile the encoder + decode scan for the given padded lengths
+        (dummy PAD inputs, valid_len=1) so requests never see compile latency.
+        `greedy` is a static jit arg — pass greedy_variants=(False, True) to
+        warm both the sampling and the greedy decode paths."""
+        S = len(self.tokenizer.sizes)
+        S_sc = len(getattr(self.tokenizer, "score_sizes", self.tokenizer.sizes))
+        for T in lengths:
+            T_pad = self._bucketed_len(int(T))
+            # distinct buffers for every argument, exactly as a real request
+            # builds them (host->device transfers of numpy arrays)
+            zs = [jnp.asarray(np.zeros((1, T_pad), np.int32)) for _ in range(3)]
+            perf = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
+            score = jnp.asarray(np.zeros((1, T_pad, S_sc), np.int32))
+            mask = jnp.asarray((np.arange(T_pad) < 1)[None])
+            tokens_in = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
+            masked_all = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
+            with self._lock:
+                score_emb, style_emb, _ = self._encode(
+                    self.variables, perf, mask, score, mask, *zs
+                )
+                jax.block_until_ready(style_emb)
+                delta = jnp.asarray(np.zeros(style_emb.shape[-1], np.float32))
+                for greedy in greedy_variants:
+                    out = self._unmask(
+                        self.variables, tokens_in, masked_all, style_emb, score_emb,
+                        delta, jax.random.PRNGKey(0), jnp.asarray([1], jnp.int32),
+                        jnp.asarray(1.0, jnp.float32), greedy,
+                    )
+                    jax.block_until_ready(out)
+            self.stats["buckets"].add(T_pad)
+
     # ---- API ----
 
     def render(
@@ -98,47 +133,84 @@ class RenderServer:
         temperature: float = 1.0,
         greedy: bool = False,
         seed: int = 0,
+        style_delta: Optional[np.ndarray] = None,
         output_path: Optional[str] = None,
     ) -> Dict:
-        """Render one score; returns {perf, notes, wall_ms, padded_to}."""
+        """Render one score; returns {perf, notes, wall_ms, padded_to}.
+
+        `style_delta` (length = total style latent dim) is added to the
+        encoder's style embeddings before decoding — the reference's
+        interactive style steering (generators.py:211-212) exposed globally.
+        """
         t_start = time.perf_counter()
         inputs = prepare_render_inputs(self.tokenizer, score_midi)
         T = len(inputs["deadpan_ids"])
         T_pad = self._bucketed_len(T)
 
         # sentinel segment id for the padded tail: clips to max_segments-1 in
-        # the one-hot aggregation, a bucket valid notes essentially never use
+        # the one-hot aggregation, a bucket valid notes essentially never use.
+        # NB: batch dims are added in NUMPY before the transfer — a device-side
+        # `[None]` is an eager broadcast op outside jit, and on remote-compile
+        # TPU platforms every eager op costs a full compile round trip.
         sentinel = 10**6
-        perf = jnp.asarray(self._pad_to(inputs["deadpan_ids"], T_pad, 0))[None]
-        score = jnp.asarray(self._pad_to(inputs["score_ids"], T_pad, 0))[None]
-        mask = jnp.asarray(np.arange(T_pad) < T)[None]
-        bars = jnp.asarray(self._pad_to(inputs["bars"], T_pad, sentinel))[None]
-        beats = jnp.asarray(self._pad_to(inputs["beats"], T_pad, sentinel))[None]
-        onsets = jnp.asarray(self._pad_to(inputs["onsets"], T_pad, sentinel))[None]
-        tokens_in = jnp.asarray(self._pad_to(inputs["tokens_in"], T_pad, 0))[None]
-        masked_all = jnp.asarray(self._pad_to(inputs["masked_all"], T_pad, 0))[None]
 
+        def dev(arr, value=0):
+            return jnp.asarray(
+                np.ascontiguousarray(self._pad_to(np.asarray(arr), T_pad, value)[None])
+            )
+
+        perf = dev(inputs["deadpan_ids"])
+        score = dev(inputs["score_ids"])
+        mask = jnp.asarray((np.arange(T_pad) < T)[None])
+        bars = dev(inputs["bars"], sentinel)
+        beats = dev(inputs["beats"], sentinel)
+        onsets = dev(inputs["onsets"], sentinel)
+        tokens_in = dev(inputs["tokens_in"])
+        masked_all = dev(inputs["masked_all"])
+
+        t_prep = time.perf_counter()
         with self._lock:
             score_emb, style_emb, _ = self._encode(
                 self.variables, perf, mask, score, mask, bars, beats, onsets
             )
+            jax.block_until_ready(style_emb)
+            t_enc = time.perf_counter()
+            style_dim = int(style_emb.shape[-1])
+            if style_delta is not None:
+                delta = np.asarray(style_delta, np.float32).reshape(-1)
+                if delta.shape[0] != style_dim:
+                    raise ValueError(
+                        f"style_delta has {delta.shape[0]} dims, "
+                        f"style embedding has {style_dim}"
+                    )
+            else:
+                delta = np.zeros(style_dim, np.float32)
             out = self._unmask(
                 self.variables, tokens_in, masked_all, style_emb, score_emb,
-                jax.random.PRNGKey(seed), jnp.asarray([T], jnp.int32),
+                jnp.asarray(delta), jax.random.PRNGKey(seed),
+                jnp.asarray([T], jnp.int32),
                 jnp.asarray(temperature, jnp.float32), greedy,
             )
             out_tokens = np.asarray(jax.device_get(out))[0, :T]
+            t_dec = time.perf_counter()
 
         perf_midi = self.tokenizer.performance_tokens_to_midi(
             TokSequence(ids=out_tokens), output_path=output_path
         )
         self.stats["requests"] += 1
         self.stats["buckets"].add(T_pad)
+        ms = lambda a, b: round((b - a) * 1000, 2)  # noqa: E731
         return {
             "perf": perf_midi,
             "notes": int(perf_midi.num_notes),
-            "wall_ms": round((time.perf_counter() - t_start) * 1000, 2),
+            "wall_ms": ms(t_start, time.perf_counter()),
             "padded_to": T_pad,
+            "timings": {
+                "prepare_ms": ms(t_start, t_prep),
+                "encode_ms": ms(t_prep, t_enc),
+                "decode_ms": ms(t_enc, t_dec),
+                "detok_ms": ms(t_dec, time.perf_counter()),
+            },
         }
 
     def handle_request(self, req: Dict) -> Dict:
@@ -166,10 +238,12 @@ class RenderServer:
                 temperature=float(req.get("temperature", 1.0)),
                 greedy=bool(req.get("greedy", False)),
                 seed=int(req.get("seed", 0)),
+                style_delta=req.get("style_delta"),
                 output_path=out_path,
             )
             resp = {"id": rid, "ok": True, "notes": result["notes"],
-                    "wall_ms": result["wall_ms"], "padded_to": result["padded_to"]}
+                    "wall_ms": result["wall_ms"], "padded_to": result["padded_to"],
+                    "timings": result["timings"]}
             if out_path:
                 resp["out"] = out_path
             else:

@@ -10,7 +10,9 @@ speaking the same line protocol.
 
 Request:  {"id": 1, "score": "in.mid" | "score_b64": "<base64 SMF>",
            "out": "out.mid" (optional — omitted returns "midi_b64"),
-           "temperature": 1.0, "greedy": false, "seed": 0}
+           "temperature": 1.0, "greedy": false, "seed": 0,
+           "style_delta": [floats, length = style latent dim] (optional
+           global style steering added to the encoder embeddings)}
 Special:  {"cmd": "ping"}  /  {"cmd": "shutdown"}
 Response: {"id": 1, "ok": true, "out": "out.mid" | "midi_b64": "...",
            "notes": N, "wall_ms": T, "padded_to": B}
@@ -31,6 +33,13 @@ def main():
     parser.add_argument("--max-len", type=int, default=2048)
     parser.add_argument("--port", type=int, default=None, help="TCP mode on this port")
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument(
+        "--warmup", default=None,
+        help="comma-separated lengths to pre-compile before accepting "
+             "requests, e.g. --warmup 128,256 (sampling path; add greedy "
+             "variants with --warmup-greedy)",
+    )
+    parser.add_argument("--warmup-greedy", action="store_true")
     args = parser.parse_args()
 
     import os
@@ -54,6 +63,12 @@ def main():
         args.checkpoint, tokenizer_path=args.tokenizer,
         bucket=args.bucket, max_len=args.max_len,
     )
+    if args.warmup:
+        lengths = [int(x) for x in args.warmup.split(",") if x.strip()]
+        variants = (False, True) if args.warmup_greedy else (False,)
+        print(f"warming up {lengths} (greedy={args.warmup_greedy})...",
+              file=sys.stderr, flush=True)
+        server.warmup(lengths, greedy_variants=variants)
     print(f"ready (backend={jax.default_backend()}, bucket={args.bucket}, "
           f"max_len={server.max_len})", file=sys.stderr, flush=True)
 

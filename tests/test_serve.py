@@ -100,6 +100,44 @@ class TestRenderServer:
         after = server.handle_request({"id": 6, "cmd": "ping"})
         assert after["ok"] and after["requests"] == 3
 
+    def test_warmup_precompiles_buckets(self, checkpoint, tmp_path):
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        server.warmup([60, 130], greedy_variants=(False, True))
+        assert {64, 192} <= server.stats["buckets"]
+
+        score = synthetic_score(np.random.RandomState(11), n_bars=4)
+        p = str(tmp_path / "w.mid")
+        write_midi(score, p)
+        r = server.handle_request({"id": 1, "score": p, "greedy": True})
+        assert r["ok"] and r["padded_to"] in server.stats["buckets"]
+
+    def test_style_delta_steers_output(self, checkpoint, tmp_path):
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        score = synthetic_score(np.random.RandomState(9), n_bars=4)
+        p = str(tmp_path / "s.mid")
+        write_midi(score, p)
+
+        base = server.handle_request({"id": 1, "score": p, "greedy": True})
+        zero = server.handle_request(
+            {"id": 2, "score": p, "greedy": True,
+             "style_delta": [0.0] * 20}  # tiny model: 8+6+4+2 latent dims
+        )
+        big = server.handle_request(
+            {"id": 3, "score": p, "greedy": True, "style_delta": [5.0] * 20}
+        )
+        assert base["ok"] and zero["ok"] and big["ok"]
+        assert base["midi_b64"] == zero["midi_b64"]  # zero delta is a no-op
+        assert base["midi_b64"] != big["midi_b64"]  # steering changes the rendition
+
+        wrong = server.handle_request(
+            {"id": 4, "score": p, "style_delta": [1.0, 2.0]}
+        )
+        assert wrong["ok"] is False and "style_delta" in wrong["error"]
+
     def test_render_deterministic_with_seed(self, checkpoint, tmp_path):
         from scoreperformer_tpu.inference import RenderServer
         from scoreperformer_tpu.midi import read_midi
