@@ -42,7 +42,12 @@ class Attention(nn.Module):
     alibi_num_heads: Optional[int] = None
     alibi_symmetric: bool = True
     alibi_learned: bool = False
-    use_flash: bool = True  # Pallas flash kernel on the eligible eval path
+    # Pallas flash kernel on the eligible full-self-attention path. Default
+    # OFF: measured on v5e-1 the fused XLA attention is faster end-to-end at
+    # this model family's sizes (flagship step 172 vs 259 ms/step); enable for
+    # long-context memory-bound regimes — the kernel never materializes the
+    # (h, t, t) bias/score tensors in HBM and is OOM-free at any length.
+    use_flash: bool = False
 
     def setup(self):
         q_dim = self.dim_head * self.heads

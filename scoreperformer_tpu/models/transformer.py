@@ -26,7 +26,7 @@ class AttentionConfig(ModuleConfig):
     alibi_num_heads: Optional[int] = None
     alibi_symmetric: bool = True
     alibi_learned: bool = False
-    use_flash: bool = True
+    use_flash: bool = False  # see models/attention.py — XLA wins at these sizes
 
 
 @dataclass

@@ -9,9 +9,23 @@ in SMEM and the bias is generated from block indices inside the kernel.
 Supports multi-query attention (single KV head) by broadcasting the KV block
 across query heads at zero memory cost.
 
-Grid: (batch * heads, num_q_blocks); K/V are streamed block-by-block with an
-online-softmax accumulator (the standard flash algorithm), and causal query
-blocks skip key blocks past the diagonal.
+Forward grid: (batch * heads, num_q_blocks); K/V are streamed block-by-block
+with an online-softmax accumulator (the standard flash algorithm), and causal
+query blocks skip key blocks past the diagonal.
+
+Backward: two fully-blocked kernels (the standard flash recipe, recomputing P
+from the saved logsumexp):
+  - dKV kernel, grid (b*h, kv_block, q_block): dK/dV accumulate over the
+    innermost q dimension;
+  - dQ kernel, grid (b*h, q_block, kv_block): dQ and the learned-ALiBi slope
+    grads accumulate over the innermost kv dimension.
+Each step touches only (block, d) tiles, so VMEM use is independent of the
+sequence length (the earlier whole-row variant OOMed scoped VMEM at t=2048).
+
+MXU precision is configurable: "default" (bf16 multiply passes, XLA's default
+on TPU — measured faster than the fused XLA attention at the flagship's
+t=258) or "highest" (6-pass fp32, used by the numerical parity tests;
+validated ≤5e-5 max rel. error vs the fp32 reference on real TPU).
 """
 from __future__ import annotations
 
@@ -24,6 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _flash_kernel(
@@ -40,6 +60,7 @@ def _flash_kernel(
     t_k: int,
     causal: bool,
     scale: float,
+    precision,
 ):
     q_block = pl.program_id(1)
     q_start = q_block * block_q
@@ -62,7 +83,7 @@ def _flash_kernel(
         k = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (bq, bk)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=precision)  # (bq, bk)
 
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         # ALiBi: -slope * |i - j| (embeddings.py:295-299, symmetric variant)
@@ -78,7 +99,7 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = alpha * l_i + p.sum(axis=-1, keepdims=True)
-        acc_new = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        acc_new = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32, precision=precision)
         return m_new, l_new, acc_new
 
     if causal:
@@ -93,77 +114,137 @@ def _flash_kernel(
         lse_ref[0, 0] = (m_i + jnp.log(jnp.maximum(l_i, 1e-30)))[:, 0]
 
 
-def _flash_bwd_kernel(
+def _recompute_p(q, k, slope, q_start, k_start, lse, mask_row, causal, scale, precision):
+    """Shared bwd helper: recompute the (block_q, block_k) softmax block and
+    the ALiBi distance tile from the saved logsumexp."""
+    block_q, block_k = q.shape[0], k.shape[0]
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=precision) * scale
+    s = s - slope * dist
+    valid = mask_row
+    if causal:
+        valid = valid & (k_pos <= q_pos)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lse)  # rows with lse=0 on padded tails give p=0
+    return p, dist
+
+
+def _flash_bwd_dkv_kernel(
     slope_ref,  # (b*h,) SMEM
-    q_ref,  # (1, t_q, d)
-    k_ref,  # (1, t_k, d)
-    v_ref,  # (1, t_k, d)
-    mask_ref,  # (1, 1, t_k)
-    lse_ref,  # (1, 1, t_q)
-    do_ref,  # (1, t_q, d)
-    delta_ref,  # (1, 1, t_q): rowsum(dO * O)
-    dq_ref,  # (1, t_q, d)
-    dk_ref,  # (1, t_k, d)
-    dv_ref,  # (1, t_k, d)
-    dslope_ref,  # (1, 1, 128)
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    mask_ref,  # (1, 1, block_k)
+    lse_ref,  # (1, 1, block_q)
+    do_ref,  # (1, block_q, d)
+    delta_ref,  # (1, 1, block_q)
+    dk_ref,  # (1, block_k, d) — accumulated over the q grid dim (innermost)
+    dv_ref,  # (1, block_k, d)
     *,
+    block_q: int,
     block_k: int,
-    t_q: int,
-    t_k: int,
     causal: bool,
     scale: float,
+    precision,
 ):
-    """Flash backward for one (b, h): iterate key blocks with the whole query
-    range resident (t_q fits VMEM at this model's lengths)."""
+    qb = pl.program_id(2)
+    kb = pl.program_id(1)
     bh = pl.program_id(0)
-    slope = slope_ref[bh]
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
+    @pl.when(qb == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dq = jnp.zeros((t_q, q.shape[-1]), jnp.float32)
-    dslope = jnp.zeros((), jnp.float32)
+    # causal: q blocks strictly above the diagonal contribute nothing
+    q_start = qb * block_q
+    k_start = kb * block_k
 
-    num_k_blocks = t_k // block_k
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t_q, block_k), 0)
+    def _work():
+        slope = slope_ref[bh]
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        mask_row = mask_ref[0, 0][None, :]
 
-    def body(kb, carry):
-        dq, dslope = carry
-        k_start = kb * block_k
-        k = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (t_q, block_k), 1)
-        dist = jnp.abs(k_pos - q_pos).astype(jnp.float32)
-
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale - slope * dist
-        kmask = mask_ref[0, 0, pl.ds(k_start, block_k)][None, :]
-        valid = kmask
-        if causal:
-            valid = valid & (k_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-
-        p = jnp.exp(s - lse)  # (t_q, bk)
-
-        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        p, _ = _recompute_p(q, k, slope, q_start, k_start, lse, mask_row,
+                            causal, scale, precision)
+        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32, precision=precision)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=precision)
         ds = p * (dp - delta)
+        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32, precision=precision) * scale
 
-        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale
-        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * scale
-        dslope = dslope + jnp.sum(ds * (-dist))
+        dk_ref[0] += dk.astype(dk_ref.dtype)
+        dv_ref[0] += dv.astype(dv_ref.dtype)
 
-        dk_ref[0, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
-        dv_ref[0, pl.ds(k_start, block_k), :] = dv.astype(dv_ref.dtype)
-        return dq, dslope
+    if causal:
+        pl.when(q_start + block_q > k_start)(_work)
+    else:
+        _work()
 
-    dq, dslope = jax.lax.fori_loop(0, num_k_blocks, body, (dq, dslope))
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    # store the scalar in every lane; the wrapper reads lane 0
-    dslope_ref[0, 0, :] = jnp.full((128,), dslope, jnp.float32)
+def _flash_bwd_dq_kernel(
+    slope_ref,  # (b*h,) SMEM
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    mask_ref,  # (1, 1, block_k)
+    lse_ref,  # (1, 1, block_q)
+    do_ref,  # (1, block_q, d)
+    delta_ref,  # (1, 1, block_q)
+    dq_ref,  # (1, block_q, d) — accumulated over the kv grid dim (innermost)
+    dslope_ref,  # (1, 1, 128) — accumulated over both inner dims
+    *,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    scale: float,
+    precision,
+):
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    bh = pl.program_id(0)
+
+    @pl.when(kb == 0)
+    def _init_dq():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    @pl.when((qb == 0) & (kb == 0))
+    def _init_dslope():
+        dslope_ref[0, 0, :] = jnp.zeros((128,), jnp.float32)
+
+    q_start = qb * block_q
+    k_start = kb * block_k
+
+    def _work():
+        slope = slope_ref[bh]
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        mask_row = mask_ref[0, 0][None, :]
+
+        p, dist = _recompute_p(q, k, slope, q_start, k_start, lse, mask_row,
+                               causal, scale, precision)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=precision)
+        ds = p * (dp - delta)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=precision) * scale
+
+        dq_ref[0] += dq.astype(dq_ref.dtype)
+        dslope_ref[0, 0, :] += jnp.full((128,), jnp.sum(ds * (-dist)), jnp.float32)
+
+    if causal:
+        pl.when(q_start + block_q > k_start)(_work)
+    else:
+        _work()
 
 
 def _pad_to(x, axis, mult):
@@ -175,8 +256,9 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, pad)
 
 
-def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret,
-                   return_lse=False):
+def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k,
+                   interpret, precision_name, return_lse=False):
+    precision = _PRECISIONS[precision_name]
     b, h, t_q, d = q.shape
     hk = k.shape[1]
     t_k = k.shape[2]
@@ -210,6 +292,7 @@ def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, inte
         t_k=t_kp,
         causal=causal,
         scale=scale,
+        precision=precision,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((b * h, t_qp, d), q.dtype)]
@@ -252,29 +335,36 @@ def _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, inte
     return result.reshape(b, h, t_qp, d)[:, :, :t_q]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k,
+                     interpret, precision_name):
+    return _flash_forward(q, k, v, slopes, maskf, causal, scale, block_q, block_k,
+                          interpret, precision_name)
 
 
-def _flash_attention_fwd(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret):
+def _flash_attention_fwd(q, k, v, slopes, maskf, causal, scale, block_q, block_k,
+                         interpret, precision_name):
     out, lse = _flash_forward(
-        q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret, return_lse=True
+        q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret,
+        precision_name, return_lse=True
     )
     return out, (q, k, v, slopes, maskf, out, lse)
 
 
-def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+def _flash_attention_bwd(causal, scale, block_q, block_k, interpret,
+                         precision_name, residuals, g):
+    precision = _PRECISIONS[precision_name]
     q, k, v, slopes, maskf, out, lse = residuals
     b, h, t_q, d = q.shape
     hk = k.shape[1]
     t_k = k.shape[2]
 
+    bq = max(8, min(block_q, t_q))
     bk = max(128, min(block_k, t_k))
-    q_p = _pad_to(q, 2, 8)
-    do_p = _pad_to(g, 2, 8)
-    out_p = _pad_to(out, 2, 8)
-    lse_p = _pad_to(lse, 2, 8)
+    q_p = _pad_to(q, 2, bq)
+    do_p = _pad_to(g, 2, bq)
+    out_p = _pad_to(out, 2, bq)
+    lse_p = _pad_to(lse, 2, bq)
     k_p = _pad_to(k, 2, bk)
     v_p = _pad_to(v, 2, bk)
     t_qp, t_kp = q_p.shape[2], k_p.shape[2]
@@ -288,46 +378,71 @@ def _flash_attention_bwd(causal, scale, block_q, block_k, interpret, residuals, 
     lse_f = lse_p.reshape(b * h, 1, t_qp)
     delta_f = delta.reshape(b * h, 1, t_qp)
 
-    kb_full = jnp.broadcast_to(k_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
-    vb_full = jnp.broadcast_to(v_p, (b, h, t_kp, d)).reshape(b * h, t_kp, d)
+    if hk == 1:
+        k_f = k_p.reshape(b, t_kp, d)
+        v_f = v_p.reshape(b, t_kp, d)
+    else:
+        k_f = k_p.reshape(b * h, t_kp, d)
+        v_f = v_p.reshape(b * h, t_kp, d)
+
     slopes_f = jnp.tile(slopes.reshape(-1).astype(jnp.float32), b)
+    num_q_blocks = t_qp // bq
+    num_k_blocks = t_kp // bk
+    mask3 = mask_p[:, None, :]
 
-    kernel = functools.partial(
-        _flash_bwd_kernel,
-        block_k=bk,
-        t_q=t_qp,
-        t_k=t_kp,
-        causal=causal,
-        scale=scale,
-    )
+    common = dict(block_q=bq, block_k=bk, causal=causal, scale=scale, precision=precision)
 
-    dq, dk, dv, dslope_l = pl.pallas_call(
-        kernel,
-        grid=(b * h,),
+    # ---- kernel 1: dK/dV, grid (b*h, kv, q) — q innermost accumulates ----
+    kv_idx = (lambda bh, kb, qb: (bh // h, kb, 0)) if hk == 1 else (lambda bh, kb, qb: (bh, kb, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(b * h, num_k_blocks, num_q_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_kp), lambda bh: (bh // h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_qp), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_qp), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, kb, qb: (bh, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda bh, kb, qb: (bh // h, 0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda bh, kb, qb: (bh, 0, qb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, kb, qb: (bh, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda bh, kb, qb: (bh, 0, qb), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t_qp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_kp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, kb, qb: (bh, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, kb, qb: (bh, kb, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, t_qp, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t_kp, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, t_kp, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, t_kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_kp, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(slopes_f, q_f, k_f, v_f, mask3, lse_f, do_f, delta_f)
+
+    # ---- kernel 2: dQ + dslopes, grid (b*h, q, kv) — kv innermost accumulates ----
+    kv_idx2 = (lambda bh, qb, kb: (bh // h, kb, 0)) if hk == 1 else (lambda bh, qb, kb: (bh, kb, 0))
+    dq, dslope_l = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(b * h, num_q_blocks, num_k_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda bh, qb, kb: (bh // h, 0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda bh, qb, kb: (bh, 0, qb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda bh, qb, kb: (bh, 0, qb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda bh, qb, kb: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_qp, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 1, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(slopes_f, q_f, kb_full, vb_full, mask_p[:, None, :], lse_f, do_f, delta_f)
+    )(slopes_f, q_f, k_f, v_f, mask3, lse_f, do_f, delta_f)
 
     dq = dq.reshape(b, h, t_qp, d)[:, :, :t_q]
     dk = dk.reshape(b, h, t_kp, d)[:, :, :t_k]
@@ -353,15 +468,21 @@ def flash_attention_alibi(
     mask: Optional[jnp.ndarray] = None,  # (b, t_k) key validity
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    # 256x256 measured best on v5e-1 across t=258..2048 (see BASELINE.md):
+    # matches or beats the fused XLA attention at every size
+    block_q: int = 256,
+    block_k: int = 256,
     interpret: bool = False,
+    precision: str = "default",
 ) -> jnp.ndarray:
-    """Differentiable flash attention (custom VJP with a Pallas backward that
-    recomputes P from the saved logsumexp — the standard flash recipe)."""
+    """Differentiable flash attention (custom VJP with blocked Pallas backward
+    kernels that recompute P from the saved logsumexp — the standard flash
+    recipe). `precision` selects the MXU pass count: "default" for speed
+    (matches XLA's default), "highest" for fp32-exact parity testing."""
     b, h, t_q, d = q.shape
     scale = scale if scale is not None else d**-0.5
     if mask is None:
         mask = jnp.ones((b, k.shape[2]), dtype=bool)
     maskf = mask.astype(jnp.float32)
-    return _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k, interpret)
+    return _flash_attention(q, k, v, slopes, maskf, causal, scale, block_q, block_k,
+                            interpret, precision)
