@@ -2,6 +2,7 @@ from .callbacks import (
     CallbackHandler,
     DefaultFlowCallback,
     EpochReproducibilityCallback,
+    FileLogCallback,
     JSONLMetricsCallback,
     PrinterCallback,
     ProgressCallback,

@@ -169,6 +169,51 @@ class PrinterCallback(TrainerCallback):
             print(json.dumps({"step": state.global_step, **logs}), file=sys.stdout, flush=True)
 
 
+class FileLogCallback(TrainerCallback):
+    """Tee human-readable training events to {output_dir}/log.txt — the
+    counterpart of the reference's loguru console+file logger
+    (experiments/logging/console_logger.py:7-30)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._fh = None
+
+    def _write(self, config, msg: str):
+        if self._fh is None:
+            import os
+            import time as _time
+
+            path = self.path or os.path.join(config.output_dir, "log.txt")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            self._fh = open(path, "a")
+            self._fh.write(f"--- session {_time.strftime('%Y-%m-%d %H:%M:%S')} ---\n")
+        import time as _time
+
+        self._fh.write(f"[{_time.strftime('%H:%M:%S')}] {msg}\n")
+        self._fh.flush()
+
+    def on_train_begin(self, config, state, control, **kwargs):
+        self._write(config, f"train begin: epochs={config.epochs} "
+                            f"batch={config.batch_size} max_steps={state.max_steps}")
+
+    def on_log(self, config, state, control, logs=None, **kwargs):
+        if logs:
+            parts = " ".join(
+                f"{k}={v:.5g}" for k, v in logs.items() if isinstance(v, float)
+            )
+            self._write(config, f"step {state.global_step} epoch {state.epoch:.2f} {parts}")
+
+    def on_save(self, config, state, control, **kwargs):
+        self._write(config, f"checkpoint saved at step {state.global_step}")
+
+    def on_train_end(self, config, state, control, **kwargs):
+        self._write(config, f"train end: step {state.global_step} "
+                            f"best={state.best_metric}")
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
 class ProgressCallback(TrainerCallback):
     """Lightweight progress meter (callbacks.py:433-492 without tqdm)."""
 

@@ -171,9 +171,9 @@ class Trainer:
 
         self.state = TrainerState()
         self.control = TrainerControl()
-        from .callbacks import JSONLMetricsCallback
+        from .callbacks import FileLogCallback, JSONLMetricsCallback
 
-        cb = [DefaultFlowCallback(), JSONLMetricsCallback()]
+        cb = [DefaultFlowCallback(), JSONLMetricsCallback(), FileLogCallback()]
         if not config.disable_progress:
             cb.append(ProgressCallback(config.progress_metrics, config.progress_steps))
         cb += callbacks or []
