@@ -182,6 +182,36 @@ class TestTrainer:
         mask_all = freeze_mask(params, [])
         assert mask_all["score_encoder"]["k"] is True
 
+    def test_grad_accumulation_equivalence(self):
+        """MultiSteps(k=2) over two micro-batches applies the same update as
+        one step on the averaged gradient (reference AMP/accumulation path)."""
+        import jax.numpy as jnp
+
+        from scoreperformer_tpu.training.optimizers import (
+            OptimizerConfig, build_optimizer,
+        )
+
+        params = {"w": jnp.array([1.0, -2.0, 3.0])}
+        g1 = {"w": jnp.array([0.5, 1.0, -0.5])}
+        g2 = {"w": jnp.array([1.5, -1.0, 0.5])}
+        g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+        cfg = dict(lr=1e-2, optimizer="adamw")
+        tx_acc = build_optimizer(OptimizerConfig(**cfg, grad_accum_steps=2), 10)
+        tx_one = build_optimizer(OptimizerConfig(**cfg, grad_accum_steps=1), 10)
+
+        s_acc = tx_acc.init(params)
+        p = params
+        for g in (g1, g2):
+            upd, s_acc = tx_acc.update(g, s_acc, p)
+            p = jax.tree.map(lambda x, u: x + u, p, upd)
+
+        s_one = tx_one.init(params)
+        upd, _ = tx_one.update(g_mean, s_one, params)
+        p_ref = jax.tree.map(lambda x, u: x + u, params, upd)
+
+        np.testing.assert_allclose(np.array(p["w"]), np.array(p_ref["w"]), rtol=1e-6)
+
     def test_sigterm_preemption_saves_last_checkpoint(self, setup, tmp_path):
         """SIGTERM mid-training drains gracefully and writes checkpoint_last."""
         import os
