@@ -41,7 +41,23 @@ def _write_varlen(value: int) -> bytes:
 
 
 def read_midi(path_or_bytes) -> MidiScore:
-    """Parse an SMF file into a :class:`MidiScore`."""
+    """Parse an SMF file into a :class:`MidiScore`.
+
+    Uses the native C++ parser (midi/native.py, parity-tested) when the
+    toolchain is available; set SP_NATIVE_SMF=0 to force the Python parser.
+    """
+    import os
+
+    if os.environ.get("SP_NATIVE_SMF", "1") != "0":
+        from .native import native_available, read_midi_native
+
+        if native_available():
+            return read_midi_native(path_or_bytes)
+    return read_midi_py(path_or_bytes)
+
+
+def read_midi_py(path_or_bytes) -> MidiScore:
+    """Pure-Python SMF parser (the reference implementation for the native one)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
