@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.wrappers import NEG_INF
+from ..models.wrappers import NEG_INF, logits_by_column
 from ..ops.sampling import top_k
 from ..tokenizers import EOS, MASK, SOS, SPMuple2
 from ..utils import find_closest
@@ -429,7 +429,9 @@ class ScorePerformerGenerator:
                 rng, step_rng = jax.random.split(rng)
                 row = wb[pos].copy()
                 srngs = jax.random.split(step_rng, len(logits))
-                for s, (key, lg) in enumerate(logits.items()):
+                # NB: predict() crosses a jit boundary, which SORTS dict keys —
+                # map logits to columns by stream name, never positionally
+                for s, key, lg in logits_by_column(self.model, logits):
                     if row[s] != MASK:
                         continue
                     lg = np.array(lg[0])  # writable copy
@@ -516,7 +518,14 @@ class ScorePerformerGenerator:
                 + self.tokenizer.zero_token
             )
             shift = tempo_token - self.perf_data.perf_seq[num_gen - 1, tempo_col]
-            future[:, tempo_col] += shift
+            z = self.tokenizer.zero_token
+            # clip to the tempo vocab: the reference's shift assumes trained-
+            # model tempos stay in range; extreme shifts would index past the
+            # bin table during messaging
+            future[:, tempo_col] = np.clip(
+                future[:, tempo_col] + shift, z,
+                z + len(self.tokenizer.vocab.tempos) - 1,
+            )
 
         times = self.messenger.tokens_to_messages(
             future, note_attributes=False, note_off_events=False,

@@ -67,6 +67,24 @@ def make_lm_head(model, variables):
     return head
 
 
+def logits_by_column(model, logits: Dict[str, jnp.ndarray]):
+    """Align a per-stream logits dict with the token columns.
+
+    NEVER iterate a logits dict positionally: any dict that crosses a
+    jit/pytree boundary comes back with its keys SORTED ALPHABETICALLY (jax
+    flattens dicts in sorted-key order), which silently writes one stream's
+    samples into another stream's column. The model config's `num_tokens`
+    dict carries the canonical column order; map by key instead.
+    """
+    order = getattr(model.config, "num_tokens", None)  # ScorePerformerModel
+    if not order:
+        order = getattr(model, "num_tokens", None)  # PerformerModel field
+    assert order, "model carries no num_tokens stream order"
+    keys = list(order)
+    assert set(keys) == set(logits), (keys, sorted(logits))
+    return [(s, key, logits[key]) for s, key in enumerate(keys)]
+
+
 def mixedlm_unmask(
     model,
     variables,
@@ -125,7 +143,7 @@ def mixedlm_unmask(
 
         new_vals = []
         rngs = jax.random.split(step_rng, S)
-        for s, (key, lg) in enumerate(logits.items()):
+        for s, key, lg in logits_by_column(model, logits):
             lg = lg.at[:, pad_token_id].set(NEG_INF).at[:, mask_token_id].set(NEG_INF)
             if forbid_ids and s in forbid_ids:
                 lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
@@ -211,7 +229,7 @@ def mlm_unmask(
         rng, step_rng = jax.random.split(rng)
         rngs = jax.random.split(step_rng, S)
         new_vals = []
-        for s, (key, lg) in enumerate(logits.items()):
+        for s, key, lg in logits_by_column(model, logits):
             lg = lg.at[:, :num_special_tokens].set(NEG_INF)
             if forbid_ids and s in forbid_ids:
                 lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
@@ -300,7 +318,7 @@ def ar_generate(
 
         rngs = jax.random.split(step_rng, S)
         samples = {}
-        for s, (key, lg) in enumerate(logits.items()):
+        for s, key, lg in logits_by_column(model, logits):
             name = stream_names[s] if s < len(stream_names) else key
             if fix_errors and name == "Bar":
                 v = jnp.arange(lg.shape[-1])

@@ -154,3 +154,45 @@ class TestGenerator:
         )
         if gen2 is not None:
             assert generator.perf_data.gen_seq.shape[0] > prev_len
+
+    def test_generated_ids_stay_in_stream_vocab(self, generator):
+        """Regression: StreamingDecoder.predict returns its logits dict
+        through a jit boundary, which SORTS dict keys — positional mapping
+        wrote e.g. Velocity logits (bigger vocab) into the RelPerfDuration
+        column, producing ids past the value tables. Every generated id must
+        lie inside its own stream's vocab, under sampling (which explores
+        high ids) and across several windows."""
+        import jax
+
+        generator.reset()
+        generator.prepare_performance_notes(0, overlay_bars=0.0)
+        sizes = list(dict(generator.tokenizer.sizes).values()) \
+            if isinstance(generator.tokenizer.sizes, dict) else list(generator.tokenizer.sizes)
+        clock, rng = 0.0, jax.random.PRNGKey(11)
+        for _ in range(4):
+            rng, wrng = jax.random.split(rng)
+            gen, _ = generator.generate_performance_notes(
+                start_time=clock, time_window=0.7, greedy=False,
+                temperature=2.0, rng=wrng, max_context_len=40,
+            )
+            clock += 0.7
+            if gen is None:
+                continue
+            for s, size in enumerate(sizes):
+                assert gen[:, s].max() < size, (
+                    f"stream {s} produced id {gen[:, s].max()} >= vocab {size}"
+                )
+
+    def test_logits_by_column_survives_key_sorting(self, generator):
+        """logits_by_column must map by stream name even when the dict arrives
+        with alphabetically sorted keys (the jit pytree order)."""
+        import jax.numpy as jnp
+
+        from scoreperformer_tpu.models.wrappers import logits_by_column
+
+        num_tokens = generator.model.config.num_tokens
+        scrambled = {k: jnp.zeros((1, v)) for k, v in sorted(num_tokens.items())}
+        aligned = logits_by_column(generator.model, scrambled)
+        assert [k for _, k, _ in aligned] == list(num_tokens)
+        for (s, key, lg), (want_key, want_v) in zip(aligned, num_tokens.items()):
+            assert key == want_key and lg.shape[-1] == want_v
