@@ -352,201 +352,227 @@ class ScorePerformanceDataset:
         mask = self.processor.compute_valid_pitch_mask(seq)
         return seq[mask], mask
 
+    # -- window planning ---------------------------------------------------
+
+    def _bar_note_lut(self, kind: str, seq_idx: int) -> np.ndarray:
+        """Lazily-built bar -> first-note-index table for a score or perf."""
+        cache = self._score_indices if kind == "score" else self._perf_indices
+        seqs = self.scores if kind == "score" else self.performances
+        if cache[seq_idx] is None:
+            cache[seq_idx] = self.indexer.compute_bar_indices(seqs[seq_idx])
+        return cache[seq_idx]
+
+    def _plan_window(self, idx, meta, rng, score_idx, perf_idx):
+        """All bar/note window decisions for one sample.
+
+        Returns (start_bar, end_bar, note_shifts, score_span, perf_span).
+        Window semantics match reference score_performance.py:338-388 (the
+        jitter bounds ARE the sampling spec); the control flow here is our
+        own, and meta replay reuses recorded decisions verbatim.
+        """
+        score_lut = self._bar_note_lut("score", score_idx)
+        perf_lut = self._bar_note_lut("perf", perf_idx)
+        n_score_bars, n_perf_bars = len(score_lut) - 1, len(perf_lut) - 1
+        n_notes = self.scores[score_idx].shape[0]
+        half, quarter = self.bar_sliding_window // 2, self.bar_sliding_window // 4
+
+        # start bar: strided grid position, optionally jittered +-half a
+        # window inside the bars both sequences actually have
+        if meta is not None:
+            start_bar = meta.start_bar
+        else:
+            start_bar = min(int(self._sample_positions[idx]), n_perf_bars + 1 - half)
+            if self.sample and prob2bool(rng, self.sample_bars):
+                lo = max(0, start_bar - half)
+                hi = min(min(n_score_bars, n_perf_bars) - quarter, start_bar + half)
+                start_bar = int(rng.randint(lo, max(lo + 1, hi)))
+
+        if meta is not None and meta.end_bar is not None:
+            end_bar = meta.end_bar
+        else:
+            end_bar = get_end_bar(score_lut, start_bar, self.max_seq_len, self.max_bar)
+
+        s0, s1 = int(score_lut[start_bar]), int(score_lut[end_bar + 1])
+        p0, p1 = int(perf_lut[start_bar]), int(perf_lut[min(end_bar + 1, n_perf_bars)])
+        if s1 == s0 or s1 - s0 > self.max_seq_len:
+            s1 = min(s1, s0 + self.max_seq_len)
+            p1 = min(p1, p0 + self.max_seq_len)
+
+        # note-level shifts: a random +-max_seq_len/4 slide of both window
+        # edges, then optional greedy extension to fill max_seq_len
+        if meta is not None:
+            shift_a, shift_b = meta.note_shifts
+        else:
+            shift_a = shift_b = 0
+            if self.sample and prob2bool(rng, self.sample_note_shift):
+                q = self.max_seq_len // 4
+                lo, hi = max(-s0, -q), min(n_notes - s0 - q, q)
+                if hi > lo:
+                    shift_a = shift_b = int(rng.randint(lo, hi))
+                shift_b = min(shift_b, n_notes - s1)
+            if prob2bool(rng, self.force_max_seq_len):
+                shift_b += min(self.max_seq_len - (s1 - s0), n_notes - s1 - shift_b)
+
+        return (
+            start_bar,
+            end_bar,
+            (shift_a, shift_b),
+            (s0 + shift_a, s1 + shift_b),
+            (p0 + shift_a, p1 + shift_b),
+        )
+
+    def _cut_sequences(self, score_idx, perf_idx, perf_name, score_span, perf_span):
+        """Materialize the score/perf windows; perf goes through the per-note
+        alignment map when one exists (score_performance.py:393-398)."""
+        s0, s1 = score_span
+        score_seq = self.scores[score_idx][s0:s1].copy()
+        alignment = (self.alignments or {}).get(perf_name)
+        if alignment is not None:
+            perf_seq = self.performances[perf_idx][alignment[s0:s1]].copy()
+        else:
+            p0, p1 = perf_span
+            perf_seq = self.performances[perf_idx][p0:p1].copy()
+        return score_seq, perf_seq
+
+    def _window_segments(self, score_idx, score_seq, score_span):
+        """Bar/beat/onset segment ids of the window, re-based to zero_token."""
+        s0, s1 = score_span
+        z = self.tokenizer.zero_token
+        segs = (
+            score_seq[:, 0] - z,
+            self._beat_maps[score_idx][s0:s1],
+            self._onset_maps[score_idx][s0:s1],
+        )
+        return [s + (z - s[0]) for s in segs]
+
+    def _choose_bar_offset(self, meta, rng, end_bar, n_score_bars, bar_lo, bar_hi):
+        """Re-basing offset for the Bar stream (score_performance.py:416-433):
+        fit_to_zero_bar pins the window's first bar to 0; fit_to_max_bar keeps
+        ids inside the Bar vocab, either by sampling a placement or by
+        proportionally re-mapping windows that start past max_bar."""
+        if meta is not None:
+            return meta.bar_offset
+        if self.fit_to_zero_bar:
+            return -int(bar_lo)
+        if self.fit_to_max_bar:
+            if self.sample and self.sample_bar_offset:
+                return int(rng.randint(-bar_lo, self.max_bar - bar_hi))
+            if end_bar >= self.max_bar:
+                return int((self.max_bar - 1) * bar_hi / n_score_bars) - bar_hi
+        return 0
+
+    def _make_noisy_perf(self, perf_seq, meta, rng):
+        """Noise-augmented copy of the performance, optionally with shuffled
+        bar ids (score_performance.py:446-458)."""
+        noisy_aug = self._get_augmentations(meta, is_noisy_perf=True, rng=rng)
+        noisy, _ = self._augment_sequence(perf_seq.copy(), noisy_aug)
+        if noisy.shape[0] < perf_seq.shape[0]:
+            noisy = perf_seq.copy()  # pitch clipping dropped notes: keep clean
+        if prob2bool(rng, self.noisy_random_bars):
+            z = self.tokenizer.zero_token
+            perm = rng.permutation(self.max_bar)
+            noisy[:, 0] = perm[np.clip(noisy[:, 0] - z, 0, self.max_bar - 1)] + z
+        return noisy, noisy_aug
+
+    def _collect_directions(self, score_idx, score_span, mask, pad_sos, pad_eos, n_notes):
+        """Per-note binary direction maps cut to the window
+        (score_performance.py:484-497)."""
+        s0, s1 = score_span
+        maps = self.score_direction_maps[score_idx]
+        out = {}
+        for group_name, group_directions in self.performance_directions.items():
+            group = {}
+            for i, key in enumerate(group_directions):
+                if key in maps:
+                    m = maps[key][s0:s1][mask]
+                    pads = ([0] if pad_sos else []), ([0] if pad_eos else [])
+                    m = np.concatenate([pads[0], m, pads[1]]) if (pad_sos or pad_eos) else m
+                else:
+                    m = np.zeros(n_notes)
+                group[(i + 1, key)] = m.astype(int)
+            out[group_name] = group
+        return out
+
     def get(self, idx=None, meta=None, rng=None) -> ScorePerformanceSample:
-        """(score_performance.py:312-527). Pass an explicit `rng` for
-        thread-safe parallel sampling."""
+        """Assemble one training sample (reference score_performance.py:312-527
+        for the sampling SEMANTICS; the pipeline below — plan window -> cut ->
+        re-base -> augment -> variants -> boundaries — is this repo's own).
+        Pass an explicit `rng` for thread-safe parallel sampling; RNG draws
+        happen in a fixed order so (seed, idx) fully determines the sample."""
         assert idx is not None or meta is not None
         rng = rng if rng is not None else self._rng
 
-        if meta is None:
-            perf_idx = int(np.where(idx >= self._sample_ids)[0][-1])
-        else:
+        # resolve the (performance, score) pair behind this flat index
+        if meta is not None:
             idx, perf_idx = meta.idx, meta.perf_idx
-        perf = self.performance_names[perf_idx]
-
-        score, _ = self._performance_map[perf]
-        score_idx = self.scores._name_to_idx[score]
-
-        score_indices = self._score_indices[score_idx]
-        if score_indices is None:
-            score_indices = self._score_indices[score_idx] = self.indexer.compute_bar_indices(
-                self.scores[score_idx]
-            )
-        perf_indices = self._perf_indices[perf_idx]
-        if perf_indices is None:
-            perf_indices = self._perf_indices[perf_idx] = self.indexer.compute_bar_indices(
-                self.performances[perf_idx]
-            )
-
-        score_total_bars = score_indices.shape[0] - 1
-        perf_total_bars = perf_indices.shape[0] - 1
-        score_total_notes = self.scores[score_idx].shape[0]
-
-        # start bar (score_performance.py:338-356)
-        if meta is None:
-            start_bar = int(self._sample_positions[idx])
-            start_bar = min(start_bar, perf_indices.shape[0] - self.bar_sliding_window // 2)
-            if self.sample and prob2bool(rng, self.sample_bars):
-                low = max(0, start_bar - self.bar_sliding_window // 2)
-                high = min(
-                    min(score_total_bars, perf_total_bars) - self.bar_sliding_window // 4,
-                    start_bar + self.bar_sliding_window // 2,
-                )
-                high = max(low + 1, high)
-                start_bar = int(rng.randint(low, high))
         else:
-            start_bar = meta.start_bar
+            perf_idx = int(np.searchsorted(self._sample_ids, idx, side="right")) - 1
+        perf_name = self.performance_names[perf_idx]
+        score_idx = self.scores._name_to_idx[self._performance_map[perf_name][0]]
 
-        score_start = int(score_indices[start_bar])
-        perf_start = int(perf_indices[start_bar])
-
-        if meta is None or meta.end_bar is None:
-            end_bar = get_end_bar(score_indices, start_bar, self.max_seq_len, self.max_bar)
-        else:
-            end_bar = meta.end_bar
-
-        score_end = int(score_indices[end_bar + 1])
-        perf_end = int(perf_indices[min(end_bar + 1, perf_total_bars)])
-
-        if score_start == score_end or score_end - score_start > self.max_seq_len:
-            score_end = min(score_end, score_start + self.max_seq_len)
-            perf_end = min(perf_end, perf_start + self.max_seq_len)
-
-        # note shifts (score_performance.py:370-388)
-        if meta is None:
-            start_note_shift = end_note_shift = 0
-            if self.sample and prob2bool(rng, self.sample_note_shift):
-                low = max(-score_start, -self.max_seq_len // 4)
-                high = min(
-                    score_total_notes - score_start - self.max_seq_len // 4,
-                    self.max_seq_len // 4,
-                )
-                if high > low:
-                    start_note_shift = end_note_shift = int(rng.randint(low, high))
-                end_note_shift = min(end_note_shift, score_total_notes - score_end)
-            if prob2bool(rng, self.force_max_seq_len):
-                end_note_shift += min(
-                    self.max_seq_len - score_end + score_start,
-                    score_total_notes - score_end - end_note_shift,
-                )
-        else:
-            start_note_shift, end_note_shift = meta.note_shifts
-
-        score_start += start_note_shift
-        perf_start += start_note_shift
-        score_end += end_note_shift
-        perf_end += end_note_shift
-
-        score_seq = self.scores[score_idx][score_start:score_end].copy()
-
-        if self.alignments is not None and perf in self.alignments:
-            alignment = self.alignments[perf]
-            aligned = alignment[np.arange(score_start, score_end)]
-            perf_seq = self.performances[perf_idx][aligned].copy()
-        else:
-            perf_seq = self.performances[perf_idx][perf_start:perf_end].copy()
-
-        z = self.tokenizer.zero_token
-        min_bar = min(perf_seq[:, 0].min() - z, score_seq[:, 0].min() - z)
-        max_bar_seen = max(perf_seq[:, 0].max() - z, score_seq[:, 0].max() - z)
-
-        # segment maps re-based to the window (score_performance.py:484-497)
-        bar_segments = score_seq[:, 0] - z
-        beat_segments = self._beat_maps[score_idx][score_start:score_end]
-        onset_segments = self._onset_maps[score_idx][score_start:score_end]
-        bar_segments, beat_segments, onset_segments = map(
-            lambda s: s - s[0] + z, (bar_segments, beat_segments, onset_segments)
+        start_bar, end_bar, note_shifts, score_span, perf_span = self._plan_window(
+            idx, meta, rng, score_idx, perf_idx
         )
+        score_seq, perf_seq = self._cut_sequences(
+            score_idx, perf_idx, perf_name, score_span, perf_span
+        )
+        segments = self._window_segments(score_idx, score_seq, score_span)
 
-        # bar offset (score_performance.py:416-433)
-        bar_offset = 0
-        if meta is None:
-            if self.fit_to_max_bar:
-                if self.sample and self.sample_bar_offset:
-                    bar_offset = int(rng.randint(-min_bar, self.max_bar - max_bar_seen))
-                elif end_bar >= self.max_bar:
-                    _end_bar = int((self.max_bar - 1) * max_bar_seen / score_total_bars)
-                    bar_offset = _end_bar - max_bar_seen
-            elif self.fit_to_zero_bar:
-                bar_offset = -int(min_bar)
-        else:
-            bar_offset = meta.bar_offset
-
-        if bar_offset != 0:
+        # re-base the Bar stream
+        z = self.tokenizer.zero_token
+        bar_ids = np.concatenate([score_seq[:, 0], perf_seq[:, 0]]) - z
+        bar_offset = self._choose_bar_offset(
+            meta, rng, end_bar,
+            n_score_bars=len(self._bar_note_lut("score", score_idx)) - 1,
+            bar_lo=int(bar_ids.min()), bar_hi=int(bar_ids.max()),
+        )
+        if bar_offset:
             bar_col = self.tokenizer.types_idx["Bar"]
             score_seq[:, bar_col] += bar_offset
             perf_seq[:, bar_col] += bar_offset
 
+        # shared pitch/velocity/tempo augmentation (velocity/tempo are
+        # perf-only inside _augment_sequence)
         augmentations = self._get_augmentations(meta, rng=rng)
         score_seq, mask = self._augment_sequence(score_seq, augmentations, is_perf=False)
         perf_seq, _ = self._augment_sequence(perf_seq, augmentations, is_perf=True)
+        segments = [s[mask] for s in segments]
 
-        bar_segments, beat_segments, onset_segments = map(
-            lambda s: s[mask], (bar_segments, beat_segments, onset_segments)
-        )
-
-        # noisy performance (score_performance.py:446-458)
         noisy_perf_seq = noisy_augmentations = None
         if self.noisy_performance:
-            noisy_augmentations = self._get_augmentations(meta, is_noisy_perf=True, rng=rng)
-            noisy_perf_seq = perf_seq.copy()
-            noisy_perf_seq, _ = self._augment_sequence(noisy_perf_seq, noisy_augmentations)
-            if noisy_perf_seq.shape[0] < perf_seq.shape[0]:
-                noisy_perf_seq = perf_seq.copy()
-            if prob2bool(rng, self.noisy_random_bars):
-                bar_ids = np.arange(self.max_bar)
-                rng.shuffle(bar_ids)
-                noisy_perf_seq[:, 0] = bar_ids[np.clip(noisy_perf_seq[:, 0] - z, 0, self.max_bar - 1)] + z
+            noisy_perf_seq, noisy_augmentations = self._make_noisy_perf(perf_seq, meta, rng)
 
-        # deadpan substitution (score_performance.py:461-464)
         use_deadpan = (
-            self.sample and prob2bool(rng, self.deadpan_performance)
-            if meta is None
-            else meta.is_deadpan
+            meta.is_deadpan if meta is not None
+            else self.sample and prob2bool(rng, self.deadpan_performance)
         )
         if use_deadpan:
             perf_seq = np.array(
                 self.tokenizer.score_tokens_as_performance(TokSequence(ids=score_seq)).ids
             )
 
-        # SOS/EOS for whole-piece boundaries (score_performance.py:467-481)
-        if self.add_sos_eos:
-            if score_start == 0:
-                score_seq = self.processor.add_sos_token(score_seq)
-                perf_seq = self.processor.add_sos_token(perf_seq)
-                if noisy_perf_seq is not None:
-                    noisy_perf_seq = self.processor.add_sos_token(noisy_perf_seq)
-                bar_segments, beat_segments, onset_segments = map(
-                    lambda s: np.concatenate([[s[0]], s]),
-                    (bar_segments, beat_segments, onset_segments),
-                )
-            if score_end == score_total_notes:
-                score_seq = self.processor.add_eos_token(score_seq)
-                perf_seq = self.processor.add_eos_token(perf_seq)
-                if noisy_perf_seq is not None:
-                    noisy_perf_seq = self.processor.add_eos_token(noisy_perf_seq)
-                bar_segments, beat_segments, onset_segments = map(
-                    lambda s: np.concatenate([s, [s[-1]]]),
-                    (bar_segments, beat_segments, onset_segments),
-                )
+        # SOS/EOS only at true piece boundaries (score_performance.py:467-481)
+        n_notes_total = self.scores[score_idx].shape[0]
+        pad_sos = self.add_sos_eos and score_span[0] == 0
+        pad_eos = self.add_sos_eos and score_span[1] == n_notes_total
+        if pad_sos:
+            score_seq = self.processor.add_sos_token(score_seq)
+            perf_seq = self.processor.add_sos_token(perf_seq)
+            if noisy_perf_seq is not None:
+                noisy_perf_seq = self.processor.add_sos_token(noisy_perf_seq)
+            segments = [np.concatenate([s[:1], s]) for s in segments]
+        if pad_eos:
+            score_seq = self.processor.add_eos_token(score_seq)
+            perf_seq = self.processor.add_eos_token(perf_seq)
+            if noisy_perf_seq is not None:
+                noisy_perf_seq = self.processor.add_eos_token(noisy_perf_seq)
+            segments = [np.concatenate([s, s[-1:]]) for s in segments]
 
-        # direction labels (score_performance.py:484-497)
         directions = {}
         if self.performance_directions is not None:
-            maps = self.score_direction_maps[score_idx]
-            for group_name, group_directions in self.performance_directions.items():
-                directions[group_name] = {}
-                for i, key in enumerate(group_directions):
-                    if key in maps:
-                        note_map = maps[key][score_start:score_end].copy()[mask]
-                        if self.add_sos_eos:
-                            if score_start == 0:
-                                note_map = np.concatenate([[0], note_map])
-                            if score_end == score_total_notes:
-                                note_map = np.concatenate([note_map, [0]])
-                    else:
-                        note_map = np.zeros(score_seq.shape[0])
-                    directions[group_name][(i + 1, key)] = note_map.astype(int)
+            directions = self._collect_directions(
+                score_idx, score_span, mask, pad_sos, pad_eos, score_seq.shape[0]
+            )
 
         meta = ScorePerformanceSampleMeta(
             idx=idx,
@@ -554,10 +580,10 @@ class ScorePerformanceDataset:
             perf_idx=perf_idx,
             start_bar=start_bar,
             end_bar=end_bar,
-            start_idx=score_start,
-            end_idx=score_end,
+            start_idx=score_span[0],
+            end_idx=score_span[1],
             bar_offset=bar_offset,
-            note_shifts=(start_note_shift, end_note_shift),
+            note_shifts=note_shifts,
             augmentations=augmentations,
             noisy_augmentations=noisy_augmentations,
             is_deadpan=use_deadpan,
@@ -568,7 +594,7 @@ class ScorePerformanceDataset:
             perf=perf_seq,
             meta=meta,
             noisy_perf=noisy_perf_seq,
-            segments=NoteSegments(bar=bar_segments, beat=beat_segments, onset=onset_segments),
+            segments=NoteSegments(*segments),
             directions=directions,
             is_deadpan=use_deadpan,
         )

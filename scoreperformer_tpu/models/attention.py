@@ -138,16 +138,30 @@ class Attention(nn.Module):
         if has_cache:
             assert context is None, "cache is not compatible with cross-attention"
             idx = cache_index if cache_index is not None else 0
-            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0))
+            cap = cache["k"].shape[1]
+            # Ring buffer: writes at `cache_index % capacity`. While the
+            # absolute position stays below capacity this is the plain linear
+            # cache; past capacity, single-token decode steps wrap and the
+            # cache holds exactly the last `capacity` positions — the
+            # TPU-native equivalent of the reference's sliding context window
+            # (wrappers.py:236-237) with no re-prefill. Multi-token writes
+            # must not wrap (prefill length <= capacity is asserted upstream).
+            slot = idx % cap
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, slot, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, slot, 0))
             new_cache = {"k": k, "v": v}
             j = k.shape[1]
             pos_q = idx + jnp.arange(n)
-            key_valid = jnp.arange(j) < (idx + n)  # only written prefix
+            # absolute position held by each slot: the latest write at or
+            # before the last query position that maps to that slot
+            p_last = idx + n - 1
+            key_pos = p_last - ((p_last - jnp.arange(j)) % cap)
+            key_valid = key_pos >= 0  # slots never written are "negative"
         else:
             new_cache = None
             j = k.shape[1]
             pos_q = (j - n) + jnp.arange(n) if context is None else jnp.arange(n)
+            key_pos = None
             key_valid = None
 
         if self.one_kv_head:
@@ -161,7 +175,7 @@ class Attention(nn.Module):
 
         # --- additive bias: ALiBi ---
         if self.rel_pos is not None:
-            bias = self.rel_pos(n, j, pos_i=pos_q)  # (h, n, j)
+            bias = self.rel_pos(n, j, pos_i=pos_q, pos_j=key_pos)  # (h, n, j)
             dots = dots + bias[None].astype(dots.dtype)
 
         # --- masks (composed as in attention.py:160-186) ---
@@ -182,13 +196,14 @@ class Attention(nn.Module):
                 attn_mask = attn_mask[:, None]
             dots = jnp.where(attn_mask, dots, neg)
 
+        kpos = key_pos if key_pos is not None else jnp.arange(j)
         if self.max_attend is not None:
-            dist = pos_q[:, None] - jnp.arange(j)[None, :]
+            dist = pos_q[:, None] - kpos[None, :]
             window_ok = (-self.max_attend < dist) & (dist <= self.max_attend)
             dots = jnp.where(window_ok[None, None], dots, neg)
 
         if self.causal:
-            causal_ok = jnp.arange(j)[None, :] <= pos_q[:, None]
+            causal_ok = kpos[None, :] <= pos_q[:, None]
             dots = jnp.where(causal_ok[None, None], dots, neg)
 
         if key_valid is not None:

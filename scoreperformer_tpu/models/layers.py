@@ -140,14 +140,22 @@ class ALiBiPositionalBias(nn.Module):
         return self.slopes
 
     def __call__(
-        self, i: int, j: int, k: int = 0, pos_i: Optional[jnp.ndarray] = None
+        self,
+        i: int,
+        j: int,
+        k: int = 0,
+        pos_i: Optional[jnp.ndarray] = None,
+        pos_j: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Bias for i query positions (starting at offset k, or explicit
-        `pos_i`) against j key positions."""
+        `pos_i`) against j key positions (default contiguous, or explicit
+        `pos_j` — e.g. the per-slot absolute positions of a ring KV cache)."""
         if pos_i is None:
             pos_i = k + jnp.arange(i)
-        pos_j = jnp.arange(j)
-        bias = -jnp.abs(pos_j[None, None, :] - pos_i[None, :, None]).astype(jnp.float32)
+        if pos_j is None:
+            pos_j = jnp.arange(j)
+        diff = (pos_j[None, None, :] - pos_i[None, :, None]).astype(jnp.float32)
+        bias = -jnp.abs(diff)
 
         slopes = self.get_slopes()
         pad = self.total_heads - (slopes.shape[1] if not self.symmetric else slopes.shape[0])
@@ -159,6 +167,8 @@ class ALiBiPositionalBias(nn.Module):
             if pad > 0:
                 zeros = jnp.zeros((2, pad, 1, 1))
                 slopes = jnp.concatenate([slopes, zeros], axis=1)
-            lower = jnp.tril(bias)
-            upper = jnp.triu(bias)
+            # position-aware split (tril/triu only hold when pos_i/pos_j are
+            # both contiguous from 0); the diagonal is 0 either way
+            lower = jnp.where(diff <= 0, bias, 0.0)
+            upper = jnp.where(diff > 0, bias, 0.0)
             return slopes[0] * lower + slopes[1] * upper

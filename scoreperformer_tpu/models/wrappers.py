@@ -260,23 +260,42 @@ def ar_generate(
     eos_token_id: int = 3,
     pad_token_id: int = 0,
     max_bar: Optional[int] = None,
+    max_seq_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive generation with per-stream constraints.
 
     Returns (generated (b, seq_len - t0, S), num_generated (b,)). After EOS
     (Bar stream), remaining positions are PAD.
+
+    `max_seq_len` bounds the attention context to the model's trained window
+    — the counterpart of the reference's `out[:, -max_seq_len:]` truncation
+    (wrappers.py:236-237). Instead of shifting + re-prefilling, the KV cache
+    is a ring buffer of `max_seq_len` slots (models/attention.py): past the
+    window the oldest position is overwritten each step and ALiBi distances
+    stay exact, so generation beyond the window runs in the same single
+    compiled scan with memory bounded by the window.
     """
     b, t0, S = start_tokens.shape
     stream_names = stream_names or [str(i) for i in range(S)]
     name_to_idx = {n: i for i, n in enumerate(stream_names)}
     bar_idx = name_to_idx.get("Bar", 0)
+    if fix_errors and "Tempo" in name_to_idx and "Bar" in name_to_idx:
+        # the same-bar Tempo copy-forward reads this step's Bar sample, so
+        # Bar must be emitted before Tempo in the canonical stream order
+        assert name_to_idx["Bar"] < name_to_idx["Tempo"], (
+            "Bar must precede Tempo in the stream order for copy-forward"
+        )
 
     decode_step = make_decode_step(model, variables)
     lm_head = make_lm_head(model, variables)
 
-    total = seq_len + 1  # cache capacity
+    total = seq_len + 1
+    cache_len = total if max_seq_len is None else min(total, int(max_seq_len))
+    assert t0 <= cache_len, (
+        f"prompt ({t0}) must fit the context window ({cache_len})"
+    )
     caches = model.apply(
-        variables, b, total, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt)
+        variables, b, cache_len, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt)
     )
 
     # sequence buffer: start tokens + zeros

@@ -3,10 +3,15 @@
 Counterpart of scoreperformer/data/tokenizers/spmuple/spmuple2.py: onset pairs
 (score tick, performance time) drive an iterative weighted local-tempo
 estimate over an 8-second window; onset deviations and performed durations are
-expressed in seconds relative to tempo-predicted times. The encode loop is
-inherently sequential (each onset's tempo depends on the accumulated, possibly
-outlier-shifted history) and runs on host numpy; a jittable `lax.scan` decode
-lives in `scoreperformer_tpu.ops.tempo_scan` for the inference path.
+expressed in seconds relative to tempo-predicted times. The encoding MATH is
+the reference's spec and must match bit-for-bit (golden-tested); the encode
+STRUCTURE here is this repo's own: notes are grouped per onset in one
+vectorized pass (`_group_by_onset`), the inherently sequential part is
+isolated into a minimal carry scan (`_tempo_clamp_scan`) that expresses the
+reference's mutate-future-arrays outlier clamp (spmuple2.py:242-251) as a
+running offset applied lazily, and all per-note quantities are broadcast
+vectorized afterwards. A jittable `lax.scan` decode of the same recursion
+lives in `scoreperformer_tpu.ops.tokenizer_ops` for the inference path.
 """
 from __future__ import annotations
 
@@ -133,7 +138,89 @@ class SPMuple2(SPMuple):
             tempo = float(self.vocab.tempos[find_closest(self.vocab.tempos, tempo)])
         return tempo
 
-    # ---- performance encode (spmuple2.py:94-327) ----
+    # ---- onset grouping + sequential tempo/clamp scan ----
+
+    @staticmethod
+    def _group_by_onset(score_ticks: np.ndarray, is_performed: np.ndarray):
+        """Group notes by score onset tick.
+
+        Returns (onset_ticks, group_start, note_onset_id):
+        - onset_ticks: unique ticks holding at least one performed note;
+        - group_start: first note index (over ALL notes) of each onset group;
+        - note_onset_id: per-note group id, -1 for notes whose tick has no
+          performed note (those inherit tempos by forward fill later).
+        Relies on `score_ticks` being nondecreasing (token rows are lexsorted
+        by bar/position upstream).
+        """
+        onset_ticks = np.unique(score_ticks[is_performed])
+        group_start = np.searchsorted(score_ticks, onset_ticks, side="left")
+        cand = np.minimum(
+            np.searchsorted(onset_ticks, score_ticks), len(onset_ticks) - 1
+        )
+        note_onset_id = np.where(onset_ticks[cand] == score_ticks, cand, -1)
+        return onset_ticks, group_start, note_onset_id
+
+    def _initial_tempo(self, pairs: np.ndarray, tempo_scale: float) -> float:
+        """Tempo of the opening 4x-window region (spmuple2.py:209-215)."""
+        ap = self.config.additional_params
+        head = pairs[pairs[:, 1] <= 4 * ap["tempo_window"]]
+        if len(head) < ap["tempo_min_onsets"]:
+            head = pairs[: ap["tempo_min_onsets"]]
+        return self.compute_local_tempo(head[head[:, 1] > 0.0] - head[0], tempo_scale)
+
+    def _tempo_clamp_scan(
+        self,
+        pairs: np.ndarray,
+        grouped_note_times: list,
+        initial_tempo: float,
+        tempo_scale: float,
+    ):
+        """Sequential local-tempo estimation with outlier clamping.
+
+        `pairs` is the (K+1, 2) [tick, raw mean time] table including the
+        sentinel row 0; `grouped_note_times[k]` holds the raw performed-note
+        times of onset k. The reference expresses the outlier clamp by
+        mutating every future time array in place (spmuple2.py:242-251); here
+        the same effect is a carried running offset, applied lazily: onset k
+        sees `raw + offset`, and a clamp raises the offset for everything
+        after it. Mutates `pairs[:, 1]` to their final (clamped) values and
+        returns (tempos[K+1], cum_offsets[K]) where cum_offsets[k] is the
+        offset owed to all notes from group k's first note onward.
+        """
+        ap = self.config.additional_params
+        dev_limit = self.rel_onset_deviations[-1]
+        K = len(pairs) - 1
+
+        tempos = np.empty(K + 1)
+        tempos[0] = initial_tempo
+        cum_offsets = np.zeros(K)
+        offset = 0.0
+
+        for k in range(K):
+            pairs[k + 1, 1] += offset
+            prev_tick, prev_time = pairs[k]
+            dt = (pairs[k + 1, 0] - prev_tick) / tempos[k] * tempo_scale
+
+            if ap["limit_rel_onset_devs"]:
+                devs = (grouped_note_times[k] + offset) - (prev_time + dt)
+                worst_rel = np.abs(devs / dt).max()
+                if worst_rel > dev_limit:
+                    clamp = (1.0 - dev_limit / worst_rel) * -devs[np.abs(devs).argmax()]
+                    pairs[k + 1, 1] += clamp
+                    offset += clamp
+            cum_offsets[k] = offset
+
+            if ap["onset_tempos"]:
+                tempos[k + 1] = self.compute_onset_tempo(pairs[k + 1], pairs[k], tempo_scale)
+            elif pairs[k + 1, 1] < 2 * ap["tempo_min_onset_dist"]:
+                tempos[k + 1] = initial_tempo
+            else:
+                in_window = self.filter_onsets_in_window(pairs[k + 1], pairs, index=k + 1)
+                tempos[k + 1] = self.compute_local_tempo(pairs[k + 1] - in_window, tempo_scale)
+
+        return tempos, cum_offsets
+
+    # ---- performance encode ----
 
     def _performance_midi_to_tokens(
         self,
@@ -177,122 +264,103 @@ class SPMuple2(SPMuple):
             ((perf_positions + perf_durations) * ticks_per_sample).astype(int)
         ]
 
+        num_tokens = len(tokens)
         is_performed = tokens[:, self.types_idx["Velocity"]] != self.zero_token
-        score_onsets = np.unique(score_ticks[is_performed])
 
-        # onset pairs: average performed time per unique performed onset
-        onset_pairs = [(0.0, 0.0)]
-        for onset_tick in score_onsets:
-            onset_mask = score_ticks == onset_tick
-            onset_time = perf_times[onset_mask][is_performed[onset_mask]].mean()
-            onset_pairs.append((float(onset_tick), float(onset_time)))
-        onset_pairs = np.array(onset_pairs)
-
-        # initial tempo from the opening window (spmuple2.py:209-215)
-        start_pairs = onset_pairs[onset_pairs[:, 1] <= 4 * ap["tempo_window"]]
-        if len(start_pairs) < ap["tempo_min_onsets"]:
-            start_pairs = onset_pairs[: ap["tempo_min_onsets"]]
-        initial_tempo = self.compute_local_tempo(
-            start_pairs[start_pairs[:, 1] > 0.0] - start_pairs[0], tempo_scale
+        # vectorized onset grouping: one row per unique performed onset, with
+        # its raw mean performed time (replaces the reference's per-onset
+        # masking passes, spmuple2.py:193-206)
+        onset_ticks, group_start, note_onset_id = self._group_by_onset(
+            score_ticks, is_performed
+        )
+        K = len(onset_ticks)
+        perf_note_group = note_onset_id[is_performed]
+        grouped_note_times = np.split(
+            perf_times[is_performed],
+            np.cumsum(np.bincount(perf_note_group, minlength=K))[:-1],
         )
 
-        if onset_pairs[1, 0] == 0:
-            onset_pairs[0] = [-1, -1 / initial_tempo * tempo_scale]
+        pairs = np.zeros((K + 1, 2))
+        pairs[1:, 0] = onset_ticks
+        pairs[1:, 1] = [g.mean() for g in grouped_note_times]
 
+        initial_tempo = self._initial_tempo(pairs, tempo_scale)
+        if pairs[1, 0] == 0:
+            # a piece starting at tick 0 gets a synthetic predecessor one tick
+            # back at the initial tempo (spmuple2.py:217-219)
+            pairs[0] = (-1.0, -1 / initial_tempo * tempo_scale)
         if ap["onset_tempos"]:
-            initial_tempo = self.compute_onset_tempo(
-                onset_pairs[1], onset_pairs[0], tempo_scale
-            )
+            initial_tempo = self.compute_onset_tempo(pairs[1], pairs[0], tempo_scale)
 
-        # iterative weighted local tempos (spmuple2.py:225-270)
-        num_tokens = len(tokens)
-        tempos = [initial_tempo]
-        note_tempos = np.ones(num_tokens)
-        note_next_tempos = np.ones(num_tokens)
+        # sequential part, isolated: local tempos + outlier-clamp offsets
+        tempos, cum_offsets = self._tempo_clamp_scan(
+            pairs, grouped_note_times, initial_tempo, tempo_scale
+        )
+
+        # lazily apply the clamp offsets to per-note times: note n owes the
+        # cumulative offset of the last group whose first note is <= n
+        owing = np.searchsorted(group_start, np.arange(num_tokens), side="right") - 1
+        note_offset = np.where(owing >= 0, cum_offsets[np.maximum(owing, 0)], 0.0)
+        perf_times = perf_times + note_offset
+        perf_offset_times = perf_offset_times + note_offset
+
+        # broadcast per-onset results to notes; ticks with no performed note
+        # (note_onset_id == -1) forward-fill from the previous grouped note
+        hit = note_onset_id >= 0
+        gid = note_onset_id[hit]
+        note_tempos = np.zeros(num_tokens)
+        note_next_tempos = np.zeros(num_tokens)
         note_onsets = np.zeros((num_tokens, 2))
         note_prev_onsets = np.zeros((num_tokens, 2))
-
-        for i in range(len(onset_pairs) - 1):
-            onset_tick, onset_time = onset_pairs[i + 1]
-            prev_onset_tick, prev_onset_time = onset_pairs[i]
-
-            onset_mask = score_ticks == onset_tick
-            onset_time_shift = (onset_tick - prev_onset_tick) / tempos[-1] * tempo_scale
-            note_perf_times = perf_times[onset_mask][is_performed[onset_mask]]
-            note_onset_devs = note_perf_times - (prev_onset_time + onset_time_shift)
-            note_rel_onset_devs = note_onset_devs / onset_time_shift
-            start_idx = np.where(onset_mask)[0][0]
-
-            # outlier clamp: shift this and all later times (spmuple2.py:242-251)
-            if ap["limit_rel_onset_devs"] and np.any(
-                np.abs(note_rel_onset_devs) > self.rel_onset_deviations[-1]
-            ):
-                onset_shift = 1 - self.rel_onset_deviations[-1] / np.abs(note_rel_onset_devs).max()
-                onset_shift *= -note_onset_devs[np.abs(note_onset_devs).argmax()]
-
-                onset_time += onset_shift
-                onset_pairs[i + 1 :, 1] += onset_shift
-                perf_times[start_idx:] += onset_shift
-                perf_offset_times[start_idx:] += onset_shift
-
-            if ap["onset_tempos"]:
-                tempo = self.compute_onset_tempo(onset_pairs[i + 1], onset_pairs[i], tempo_scale)
-            else:
-                if onset_time < 2 * ap["tempo_min_onset_dist"]:
-                    tempo = initial_tempo
-                else:
-                    pairs_in_window = self.filter_onsets_in_window(
-                        onset_pairs[i + 1], onset_pairs, index=i + 1
-                    )
-                    tempo = self.compute_local_tempo(
-                        onset_pairs[i + 1] - pairs_in_window, tempo_scale
-                    )
-
-            tempos.append(tempo)
-
-            note_tempos[onset_mask] = tempos[i]
-            note_next_tempos[onset_mask] = tempos[i + 1]
-            note_prev_onsets[onset_mask] = onset_pairs[i]
-            note_onsets[onset_mask] = onset_pairs[i + 1]
-
-        # forward-fill zero tempos (spmuple2.py:281-284)
-        for _tempos in (note_tempos, note_next_tempos):
-            zero = _tempos == 0.0
-            if zero.any():
-                idx = np.where(~zero, np.arange(num_tokens), 0)
-                np.maximum.accumulate(idx, out=idx)
-                _tempos[:] = _tempos[idx]
+        note_tempos[hit] = tempos[gid]
+        note_next_tempos[hit] = tempos[gid + 1]
+        note_prev_onsets[hit] = pairs[gid]
+        note_onsets[hit] = pairs[gid + 1]
+        ffill = np.maximum.accumulate(np.where(hit, np.arange(num_tokens), 0))
+        note_tempos = note_tempos[ffill]
+        note_next_tempos = note_next_tempos[ffill]
 
         if self.config.use_tempos:
             tokens[:, self.types_idx["Tempo"]] = (
                 find_closest(self.vocab.tempos, note_tempos) + self.zero_token
             )
 
-        # relative onset deviations in seconds (spmuple2.py:291-299)
-        note_time_shifts = (note_onsets[:, 0] - note_prev_onsets[:, 0]) / note_tempos * tempo_scale
-        note_onset_devs = perf_times - (note_prev_onsets[:, 1] + note_time_shifts)
-        note_onset_devs[~is_performed] = 0
-
-        note_rel_onset_devs = np.zeros_like(note_onset_devs)
-        note_rel_onset_devs[is_performed] = (
-            note_onset_devs[is_performed] / note_time_shifts[is_performed]
+        # deviations and durations in seconds against tempo-predicted times
+        # (the seconds-domain encoding is the paper's spec, spmuple2.py:291-308);
+        # all divisions are masked to performed notes — a leading unperformed
+        # run keeps tempo 0 exactly like the reference's forward fill
+        has_tempo = note_tempos > 0.0
+        predicted_shift = np.zeros(num_tokens)
+        np.divide(
+            note_onsets[:, 0] - note_prev_onsets[:, 0],
+            note_tempos,
+            out=predicted_shift,
+            where=has_tempo,
         )
-        rel_onset_dev_tokens = (
-            find_closest(self.rel_onset_deviations, note_rel_onset_devs) + self.zero_token
+        predicted_shift *= tempo_scale
+        rel_devs = np.zeros(num_tokens)
+        np.divide(
+            perf_times - (note_prev_onsets[:, 1] + predicted_shift),
+            predicted_shift,
+            out=rel_devs,
+            where=is_performed,
         )
 
-        # relative performed durations (spmuple2.py:301-308)
-        perf_time_durations = perf_offset_times - perf_times
-        score_time_durations = duration_ticks / note_tempos * tempo_scale
-
-        note_rel_perf_durations = perf_time_durations / score_time_durations
-        note_rel_perf_durations[~is_performed] = 1
-        rel_perf_duration_tokens = (
-            find_closest(self.rel_performed_durations, note_rel_perf_durations) + self.zero_token
+        score_secs = np.zeros(num_tokens)
+        np.divide(duration_ticks, note_tempos, out=score_secs, where=has_tempo)
+        score_secs *= tempo_scale
+        rel_durs = np.ones(num_tokens)
+        np.divide(
+            perf_offset_times - perf_times, score_secs, out=rel_durs, where=is_performed
         )
 
         tokens = np.concatenate(
-            [tokens, rel_onset_dev_tokens[:, None], rel_perf_duration_tokens[:, None]], axis=1
+            [
+                tokens,
+                (find_closest(self.rel_onset_deviations, rel_devs) + self.zero_token)[:, None],
+                (find_closest(self.rel_performed_durations, rel_durs) + self.zero_token)[:, None],
+            ],
+            axis=1,
         )
 
         return TokSequence(ids=tokens, meta={"initial_tempo": initial_tempo})

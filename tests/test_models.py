@@ -363,6 +363,45 @@ class TestWrappers:
             prev_ts = np.concatenate([start_np[bi, -1:, 6], gen[bi, : n - 1, 6]])
             assert ((gen[bi, :n, 6] == prev_ts) | ~live).all()
 
+    def test_ar_generate_sliding_window(self, sp_model):
+        """Ring-cache windowed generation (reference wrappers.py:236-237).
+
+        Generating 4x the window with a cache bounded at `max_seq_len`:
+        in-vocab ids, Bar monotone across window wraps, and bit-identical to
+        the unbounded cache while the consumed context still fits the window.
+        """
+        from scoreperformer_tpu.models.wrappers import ar_generate
+
+        model, variables, batch = sp_model
+        start = batch["perf"][:, :4]
+        W = 12
+        T = 4 * W
+        style = jnp.zeros((2, T + 1, 20))
+        ctx = jnp.zeros((2, T + 1, 32))
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0), style_embeddings=style, context=ctx,
+            greedy=True, stream_names=list(NUM_TOKENS.keys()),
+        )
+        gen_w, num_w = ar_generate(
+            model, variables, start, seq_len=T, max_seq_len=W, **kwargs
+        )
+        gen_f, _ = ar_generate(model, variables, start, seq_len=T, **kwargs)
+        gen_w, gen_f = np.array(gen_w), np.array(gen_f)
+        assert gen_w.shape == (2, T - 3, len(NUM_TOKENS))
+
+        vocab = np.array(list(NUM_TOKENS.values()))
+        start_np = np.array(start)
+        for bi in range(2):
+            n = int(num_w[bi])
+            live = gen_w[bi, :n, 0] != 3
+            assert (gen_w[bi, :n] < vocab[None, :]).all()
+            prev_bars = np.concatenate([start_np[bi, -1:, 0], gen_w[bi, : n - 1, 0]])
+            assert ((gen_w[bi, :n, 0] >= prev_bars) | ~live).all()
+        # identical prefix while context fits: position L consumes index L-2,
+        # so everything up to absolute position W+1 matches the full cache
+        n_same = W + 2 - start.shape[1]
+        np.testing.assert_array_equal(gen_w[:, :n_same], gen_f[:, :n_same])
+
     def test_mixedlm_unmask_fills_masks(self, sp_model):
         from scoreperformer_tpu.models.wrappers import mixedlm_unmask
 
