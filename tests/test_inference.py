@@ -15,6 +15,8 @@ from scoreperformer_tpu.inference import (
 from scoreperformer_tpu.models import MODELS
 from scoreperformer_tpu.training import inject_data_config
 
+pytestmark = pytest.mark.slow
+
 MAX_SEQ = 48
 
 

@@ -8,6 +8,8 @@ from scoreperformer_tpu.models import MODELS
 from scoreperformer_tpu.models.mmd import MMDTupleTransformer, MMDTupleTransformerConfig
 from scoreperformer_tpu.models.factory import build_tuple_transformer_config
 
+pytestmark = pytest.mark.slow
+
 
 NUM_TOKENS = {"Bar": 16, "Position": 20, "Pitch": 24, "Velocity": 12, "Duration": 14,
               "Tempo": 10, "TimeSig": 8, "RelOnsetDev": 15, "RelPerfDuration": 13}

@@ -11,6 +11,8 @@ from scoreperformer_tpu.models import (
 )
 from scoreperformer_tpu.models.factory import build_tuple_transformer_config
 
+pytestmark = pytest.mark.slow
+
 NUM_TOKENS = {
     "Bar": 20,
     "Position": 36,

@@ -12,6 +12,8 @@ from scoreperformer_tpu.parallel import (
     shard_params,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_shapes():
     mesh = make_mesh(4, 2)

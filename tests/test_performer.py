@@ -13,6 +13,8 @@ from scoreperformer_tpu.data.synthetic import build_synthetic_dataset
 from scoreperformer_tpu.models import MODELS
 from scoreperformer_tpu.training import OptimizerConfig, Trainer, TrainerConfig, inject_data_config
 
+pytestmark = pytest.mark.slow
+
 
 def performer_cfg():
     return {

@@ -12,6 +12,8 @@ from scoreperformer_tpu.training import inject_data_config
 from scoreperformer_tpu.training.checkpoint import save_checkpoint
 from scoreperformer_tpu.configs import to_dict
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     emb = {"_target_": "simple", "emb_dims": 16, "mode": "cat", "emb_norm": True,

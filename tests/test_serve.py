@@ -23,6 +23,8 @@ from scoreperformer_tpu.models import MODELS
 from scoreperformer_tpu.training import inject_data_config
 from scoreperformer_tpu.training.checkpoint import save_checkpoint
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def checkpoint(tmp_path_factory):

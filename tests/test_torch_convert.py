@@ -11,6 +11,8 @@ from scoreperformer_tpu.training.torch_convert import (
     reference_names_for_template,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model_and_params():

@@ -18,6 +18,8 @@ from scoreperformer_tpu.training import (
     load_checkpoint,
 )
 
+pytestmark = pytest.mark.slow
+
 MAX_SEQ = 48
 
 
