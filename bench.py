@@ -36,17 +36,18 @@ HEADS = 4
 DIM_HEAD = 64
 
 
-def build_flagship(batch, seq):
+def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=260):
     import jax
     import jax.numpy as jnp
 
     from scoreperformer_tpu.models import MODELS
 
-    num_tokens = FLAGSHIP_NUM_TOKENS
+    num_tokens = num_tokens or FLAGSHIP_NUM_TOKENS
     score_tokens = {
         k: v for k, v in num_tokens.items() if k not in ("RelOnsetDev", "RelPerfDuration")
     }
-    token_values = {k: np.linspace(0, 1, v).tolist() for k, v in num_tokens.items()}
+    if token_values is None:
+        token_values = {k: np.linspace(0, 1, v).tolist() for k, v in num_tokens.items()}
     emb = {
         "_target_": "simple", "emb_dims": EMB_DIM, "mode": "cat", "emb_norm": True,
         "discrete": False, "continuous": True, "continuous_dense": True,
@@ -66,7 +67,7 @@ def build_flagship(batch, seq):
                          "use_abs_pos_emb": False, "max_seq_len": seq + 2,
                          "latent_dim": [32, 20, 8, 4],
                          "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
-                         "hierarchical": True, "max_segments": 260,
+                         "hierarchical": True, "max_segments": max_segments,
                          "transformer": {"_target_": "encoder", "depth": 4, "heads": HEADS,
                                          "attention": attn, "feed_forward": ff}},
         "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
@@ -103,7 +104,7 @@ def build_flagship(batch, seq):
         score=rand(score_tokens),
         bars=jnp.array(np.sort(rng.randint(4, 20, (batch, seq)), 1)),
         beats=jnp.array(np.sort(rng.randint(4, 64, (batch, seq)), 1)),
-        onsets=jnp.array(np.sort(rng.randint(4, seq + 4, (batch, seq)), 1)),
+        onsets=jnp.array(np.sort(rng.randint(4, min(seq + 4, max_segments), (batch, seq)), 1)),
         deadpan_mask=jnp.zeros((batch,), bool),
     )
     # jit the init: eager init dispatches thousands of tiny ops (very slow on
@@ -146,6 +147,76 @@ def measure_tpu_decode(batch=32, seq=256, repeats=3):
     best = min(times)
     tokens_decoded = batch * (seq - 1)
     return tokens_decoded / best, best
+
+
+def measure_render(n_bars=32, repeats=3):
+    """End-to-end score→performance render of an n_bars piece: host
+    tokenization, encoder chunk pass, scan MixedLM decode, messenger-style
+    detokenization back to MIDI (BASELINE configs 2+5 combined). Returns
+    (notes_per_sec, wall_s, num_notes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scoreperformer_tpu.data.synthetic import synthetic_score
+    from scoreperformer_tpu.inference.render import prepare_render_inputs
+    from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+    from scoreperformer_tpu.tokenizers import SPMupleWindow, TokenizerConfig, TokSequence
+
+    tokenizer = SPMupleWindow(
+        TokenizerConfig(additional_params={"max_bar_embedding": 256})
+    )
+    score = synthetic_score(np.random.RandomState(0), n_bars=n_bars)
+    inputs = prepare_render_inputs(tokenizer, score)
+    T = len(inputs["deadpan_ids"])
+
+    num_tokens = dict(tokenizer.performance_sizes)
+    token_values = {
+        k: np.asarray(v).tolist()
+        for k, v in tokenizer.token_values(normalize=True).items()
+    }
+    max_segments = int(max(inputs["onsets"].max(), inputs["bars"].max(),
+                           inputs["beats"].max())) + 8
+    model, variables, _ = build_flagship(
+        1, T, num_tokens=num_tokens, token_values=token_values,
+        max_segments=max_segments,
+    )
+
+    perf = jnp.asarray(inputs["deadpan_ids"][None])
+    score_ids = jnp.asarray(inputs["score_ids"][None])
+    tokens_in = jnp.asarray(inputs["tokens_in"][None])
+    masked_all = jnp.asarray(inputs["masked_all"][None])
+    bars = jnp.asarray(inputs["bars"][None])
+    beats = jnp.asarray(inputs["beats"][None])
+    onsets = jnp.asarray(inputs["onsets"][None])
+
+    @jax.jit
+    def encode_and_unmask(rng, perf, score_ids, tokens_in, masked_all, bars, beats, onsets):
+        mask = jnp.ones(perf.shape[:2], bool)
+        score_emb, style_emb, _ = model.apply(
+            variables, perf, mask, score_ids, mask, bars, beats, onsets,
+            method="encode_embeddings", rngs={"mmd": jax.random.PRNGKey(0)},
+        )
+        return mixedlm_unmask(
+            model, variables, tokens_in, masked_all, rng=rng,
+            style_embeddings=style_emb, context=score_emb, greedy=False,
+        )
+
+    def run(seed):
+        out = encode_and_unmask(
+            jax.random.PRNGKey(seed), perf, score_ids, tokens_in, masked_all,
+            bars, beats, onsets,
+        )
+        out_tokens = np.asarray(out[0])  # device sync
+        return tokenizer.performance_tokens_to_midi(TokSequence(ids=out_tokens))
+
+    run(0)  # compile + host-path warmup
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return T / best, best, T
 
 
 def measure_torch_baseline(seq=256, steps=64):
@@ -270,6 +341,8 @@ def main():
     parser.add_argument("--seq", type=int, default=256)
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--baseline", type=float, default=None)
+    parser.add_argument("--render-bars", type=int, default=32)
+    parser.add_argument("--skip-render", action="store_true")
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -280,6 +353,22 @@ def main():
 
     tokens_per_sec, wall = measure_tpu_decode(args.batch, args.seq)
 
+    # end-to-end render (tokenize -> encode -> scan decode -> detokenize);
+    # secondary metric so round-over-round perf covers the whole pipeline,
+    # never allowed to sink the primary decode metric
+    render = None
+    if not args.skip_render:
+        try:
+            notes_per_sec, render_wall, n_notes = measure_render(n_bars=args.render_bars)
+            render = {
+                "notes_per_sec": round(notes_per_sec, 2),
+                "wall_s": round(render_wall, 3),
+                "notes": n_notes,
+                "bars": args.render_bars,
+            }
+        except Exception as e:  # pragma: no cover - diagnostic path
+            render = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -288,6 +377,7 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": round(tokens_per_sec / baseline, 2),
                 "baseline_torch_cpu_tokens_per_sec": round(baseline, 2),
+                "render_32bar": render,
                 "config": {
                     "batch": args.batch,
                     "seq": args.seq,

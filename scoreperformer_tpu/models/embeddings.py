@@ -214,7 +214,7 @@ class TupleTokenEmbeddings(nn.Module):
         self.emb_dims_map = dims
         self.total_emb_dim = total
 
-        self.norm = nn.LayerNorm(name="norm") if cfg.emb_norm else None
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm") if cfg.emb_norm else None
         # projection as explicit params so tied LM heads can reuse the kernel
         # transposed (reference embeddings.py:337-346)
         self.has_project = self.total_emb_dim != self.project_emb_dim
@@ -335,7 +335,7 @@ class TupleTokenTiedLMHead(nn.Module):
             h = embeddings.project_transpose(x)
         else:
             h = nn.Dense(total, use_bias=False, name="project")(x)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
         tables = embeddings.tables()
         logits = {}
@@ -367,7 +367,7 @@ class TupleTokenTiedSplitLMHead(nn.Module):
                 continue
             dim = embeddings.emb_dims_map[key]
             h = nn.Dense(dim, name=f"to_emb_{key}")(x)
-            h = nn.LayerNorm(name=f"norm_{key}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_{key}")(h)
             logits[key] = h @ tables[key].T
         return logits
 

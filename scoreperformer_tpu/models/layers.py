@@ -65,7 +65,7 @@ class FeedForward(nn.Module):
             h = act(nn.Dense(inner_dim, use_bias=not self.no_bias, name="proj_in")(x))
 
         if self.post_act_ln:
-            h = nn.LayerNorm(name="post_act_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="post_act_norm")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.dim, use_bias=not self.no_bias, name="proj_out")(h)

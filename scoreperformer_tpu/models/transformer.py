@@ -121,7 +121,7 @@ class TransformerStack(nn.Module):
             if cfg.use_adanorm:
                 assert cfg.style_emb_dim is not None, "style_emb_dim required for adanorm"
                 return AdaptiveLayerNorm(cfg.dim, cfg.style_emb_dim, name=name)
-            return nn.LayerNorm(name=name)
+            return nn.LayerNorm(epsilon=1e-5, name=name)
 
         self.norms = [make_norm(f"layer_{ind}_norm") for ind in range(len(self.layer_types))]
         self.final_norm = make_norm("final_norm") if cfg.pre_norm else None

@@ -155,7 +155,7 @@ class TupleTransformerModule(nn.Module):
             if cfg.use_abs_pos_emb
             else None
         )
-        self.emb_norm_layer = nn.LayerNorm(name="emb_norm") if cfg.emb_norm else None
+        self.emb_norm_layer = nn.LayerNorm(epsilon=1e-5, name="emb_norm") if cfg.emb_norm else None
         self.emb_dropout = nn.Dropout(cfg.emb_dropout) if cfg.emb_dropout > 0 else None
 
         total_emb_dim = (

@@ -3,7 +3,9 @@ from .mesh import (
     DEFAULT_PARTITION_RULES,
     MODEL_AXIS,
     batch_sharding,
+    host_local_to_global_batch,
     make_mesh,
+    maybe_distributed_initialize,
     params_shardings,
     shard_batch,
     shard_params,

@@ -85,3 +85,46 @@ def shard_params(params, mesh: Mesh, rules=DEFAULT_PARTITION_RULES):
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def maybe_distributed_initialize(config) -> bool:
+    """Best-effort `jax.distributed.initialize()` for multi-host (DCN) runs.
+
+    The reference is single-device (SURVEY §2.8); the TPU-native answer to
+    multi-host is JAX's runtime: call this ONCE at program start (before any
+    other jax API touches the backend), then build the mesh over the global
+    `jax.devices()`. On TPU pods all arguments auto-detect; on CPU/GPU
+    clusters set coordinator_address/num_processes/process_id explicitly.
+
+    Returns True if initialization ran, False if it was skipped (single
+    process) or the backend was already initialized (warned, not fatal —
+    single-process runs and tests hit this path).
+    """
+    if config.num_processes in (None, 0, 1) and config.coordinator_address is None:
+        return False  # single-process: nothing to coordinate
+    try:
+        jax.distributed.initialize(
+            coordinator_address=config.coordinator_address,
+            num_processes=config.num_processes,
+            process_id=config.process_id,
+        )
+        return True
+    except RuntimeError as e:
+        import warnings
+
+        warnings.warn(
+            "jax.distributed.initialize() failed (backend already initialized?). "
+            "For multi-host runs call it at program start — train.py does this "
+            f"when trainer.multihost is set. Original error: {e}",
+            stacklevel=2,
+        )
+        return False
+
+
+def host_local_to_global_batch(batch: Dict, sharding: NamedSharding) -> Dict:
+    """Assemble per-process host-local batches into global sharded arrays
+    (multi-host feeding via jax.make_array_from_process_local_data)."""
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

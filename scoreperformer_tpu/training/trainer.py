@@ -18,7 +18,13 @@ import numpy as np
 
 from ..configs import ModuleConfig, to_dict
 from ..data.collators import scoreperformer_model_inputs
-from ..parallel import batch_sharding, make_mesh, shard_params
+from ..parallel import (
+    batch_sharding,
+    host_local_to_global_batch,
+    make_mesh,
+    maybe_distributed_initialize,
+    shard_params,
+)
 from .callbacks import (
     CallbackHandler,
     DefaultFlowCallback,
@@ -78,6 +84,17 @@ class TrainerConfig(ModuleConfig):
     # TPU-native additions
     mesh_data: Optional[int] = None  # None = all devices on the data axis
     mesh_model: int = 1
+    # multi-host (DCN) execution (SURVEY §2.8 backend row): run
+    # jax.distributed.initialize() at process start, build the mesh over
+    # GLOBAL devices, and assemble host-local batches into global arrays via
+    # jax.make_array_from_process_local_data. On TPU pods the coordinator
+    # fields auto-detect from the environment; set them for CPU/GPU clusters.
+    # Cannot be exercised with real multi-process here (single-host CI) —
+    # the code path is unit-tested single-process.
+    multihost: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     bf16_compute: bool = False
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY §5 sanitizers)
     # jax.profiler trace of [profile_start_step, +profile_num_steps) steps
@@ -153,6 +170,9 @@ class Trainer:
 
         os.makedirs(config.output_dir, exist_ok=True)
 
+        if config.multihost:
+            maybe_distributed_initialize(config)
+
         # mesh: data axis must divide the (smallest) batch size
         import math as _math
 
@@ -162,6 +182,17 @@ class Trainer:
             data_axis = n_devices // config.mesh_model
             batch_gcd = _math.gcd(config.batch_size, config.eval_batch_size)
             data_axis = _math.gcd(data_axis, batch_gcd) or 1
+        if data_axis * config.mesh_model < n_devices:
+            import warnings
+
+            warnings.warn(
+                f"mesh ({data_axis} data x {config.mesh_model} model) engages only "
+                f"{data_axis * config.mesh_model} of {n_devices} devices: the data axis "
+                f"is limited by gcd(batch={config.batch_size}, eval_batch="
+                f"{config.eval_batch_size}). Set mesh_data explicitly or pick batch "
+                "sizes divisible by the device count to use all devices.",
+                stacklevel=2,
+            )
         self.mesh = make_mesh(
             data_axis,
             config.mesh_model,
@@ -345,7 +376,7 @@ class Trainer:
                     batch = self.input_fn(self.collator(samples))
             else:
                 batch = self.input_fn(self.collator(samples))
-            return jax.device_put(batch, self._batch_sharding)
+            return self._put_batch(batch)
 
         # parallel producers (the python sampling/augmentation path dominates
         # step time otherwise); numpy releases the GIL for the heavy parts.
@@ -370,6 +401,14 @@ class Trainer:
                 if nxt < num_batches:
                     inflight[nxt] = pool.submit(make, nxt)
                 yield batch
+
+    def _put_batch(self, batch):
+        """Place a host batch onto the mesh. Single-host: one device_put with
+        the batch sharding. Multi-host: every process holds only its local
+        shard, assembled into a global array over DCN."""
+        if self.config.multihost and jax.process_count() > 1:
+            return host_local_to_global_batch(batch, self._batch_sharding)
+        return jax.device_put(batch, self._batch_sharding)
 
     # ---- loops ----
 
@@ -534,7 +573,11 @@ class Trainer:
         ):
             if self.config.eval_batches is not None and i >= self.config.eval_batches:
                 break
-            metrics = self._eval_step(self.params, batch, jax.random.PRNGKey(0))
+            # deterministic but decorrelated across eval batches (the MMD
+            # prior subsample would otherwise reuse one sample every batch)
+            metrics = self._eval_step(
+                self.params, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
+            )
             accumulator.update(metrics)  # fetched in one device_get at means()
         metrics = {f"eval/{k}": v for k, v in accumulator.means().items()}
         self.state.log_history.append({"step": self.state.global_step, **metrics})

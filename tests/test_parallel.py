@@ -130,3 +130,31 @@ class TestDataParallelEquivalence:
         q_spec = shardings["layer_0_attn"]["to_q"]["kernel"].spec
         assert q_spec == P(None, "model")
         assert shardings["bias"].spec == P()
+
+
+def test_multihost_helpers_single_process():
+    """The multi-host hook composes (SURVEY §2.8): real multi-process runs
+    cannot execute in single-host CI, but the single-process paths must —
+    initialize() is skipped, and host-local batch assembly produces the same
+    global array device_put would."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from scoreperformer_tpu.parallel import (
+        batch_sharding,
+        host_local_to_global_batch,
+        make_mesh,
+        maybe_distributed_initialize,
+    )
+
+    cfg = SimpleNamespace(num_processes=None, coordinator_address=None, process_id=None)
+    assert maybe_distributed_initialize(cfg) is False
+
+    mesh = make_mesh(8, 1)
+    sharding = batch_sharding(mesh)
+    batch = {"x": np.arange(16.0).reshape(8, 2), "y": np.arange(8)}
+    out = host_local_to_global_batch(batch, sharding)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    np.testing.assert_array_equal(np.asarray(out["y"]), batch["y"])
+    assert out["x"].sharding.is_equivalent_to(sharding, 2)

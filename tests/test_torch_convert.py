@@ -126,3 +126,238 @@ class TestTorchConvert:
             convert_reference_state_dict({}, params, strict=True)
         _, missing = convert_reference_state_dict({}, params, strict=False)
         assert len(missing) > 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-framework NUMERIC parity: a functional torch re-enactment of the
+# reference perf-decoder forward (attend.py:58-126, embeddings.py:91-222,
+# models/scoreperformer/{embeddings.py:46-353, transformer.py:146-222},
+# feedforward.py:13-64, layers.py:13-47) produces a reference-named
+# state_dict; after convert_reference_state_dict the flax decoder must emit
+# the same logits on the same inputs.
+# ---------------------------------------------------------------------------
+
+NT = {"Bar": 12, "Position": 10, "Pitch": 9, "Velocity": 8}
+EMB = 16
+DIM = 32
+STYLE = 20
+HEADS, DIM_HEAD = 2, 8
+DEPTH = 2
+INNER = DIM * 2
+DISC_IDS = [0, 1, 2, 3]
+P = "perf_decoder.model."
+
+
+def _token_values():
+    return {k: np.linspace(0.0, 1.0, v).astype(np.float32) for k, v in NT.items()}
+
+
+def _make_reference_state_dict(seed=0):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+
+    def randn(*shape, std=0.05):
+        return torch.randn(*shape, generator=g) * std
+
+    sd = {}
+    for key, num in NT.items():
+        iw = randn(num, EMB)
+        iw[0] = 0.0  # padding row is zero in any trained reference checkpoint
+        sd[f"{P}token_emb.embs.{key}.index_weight"] = iw
+        sd[f"{P}token_emb.embs.{key}.value_layer.0.0.weight"] = randn(EMB, 1)
+        sd[f"{P}token_emb.embs.{key}.value_layer.0.0.bias"] = randn(EMB)
+        sd[f"{P}token_emb.embs.{key}.value_layer.1.0.weight"] = randn(EMB, EMB)
+        sd[f"{P}token_emb.embs.{key}.value_layer.1.0.bias"] = randn(EMB)
+    total = EMB * len(NT)
+    sd[f"{P}token_emb.norm.weight"] = 1 + randn(total)
+    sd[f"{P}token_emb.norm.bias"] = randn(total)
+    sd[f"{P}token_emb.project_emb.weight"] = randn(DIM, total)
+    sd[f"{P}token_emb.project_emb.bias"] = randn(DIM)
+    sd[f"{P}token_emb.project_multiemb.weight"] = randn(DIM, 2 * DIM)
+    sd[f"{P}token_emb.project_multiemb.bias"] = randn(DIM)
+    sd[f"{P}emb_norm.weight"] = 1 + randn(DIM)
+    sd[f"{P}emb_norm.bias"] = randn(DIM)
+    sd[f"{P}project_emb.weight"] = randn(DIM, 2 * DIM)  # context cat: 64 -> 32
+    sd[f"{P}project_emb.bias"] = randn(DIM)
+
+    base_logslopes = torch.log(torch.tensor([0.25, 0.0625]).view(-1, 1, 1))
+    for i in range(2 * DEPTH):  # layer types: a f a f
+        sd[f"{P}transformer.layers.{i}.0.0.linear.weight"] = randn(2 * DIM, STYLE)
+        sd[f"{P}transformer.layers.{i}.0.0.linear.bias"] = torch.cat(
+            [1 + randn(DIM), randn(DIM)]
+        )
+        if i % 2 == 0:  # attention
+            sd[f"{P}transformer.layers.{i}.1.to_q.weight"] = randn(HEADS * DIM_HEAD, DIM)
+            sd[f"{P}transformer.layers.{i}.1.to_k.weight"] = randn(DIM_HEAD, DIM)
+            sd[f"{P}transformer.layers.{i}.1.to_v.weight"] = randn(DIM_HEAD, DIM)
+            sd[f"{P}transformer.layers.{i}.1.to_out.weight"] = randn(DIM, HEADS * DIM_HEAD)
+            sd[f"{P}transformer.layers.{i}.1.rel_pos.learned_logslopes"] = (
+                base_logslopes + randn(HEADS, 1, 1)
+            )
+        else:  # GLU feed-forward
+            sd[f"{P}transformer.layers.{i}.1.ff.0.proj.weight"] = randn(2 * INNER, DIM)
+            sd[f"{P}transformer.layers.{i}.1.ff.0.proj.bias"] = randn(2 * INNER)
+            sd[f"{P}transformer.layers.{i}.1.ff.3.weight"] = randn(DIM, INNER)
+    sd[f"{P}transformer.final_norm.linear.weight"] = randn(2 * DIM, STYLE)
+    sd[f"{P}transformer.final_norm.linear.bias"] = torch.cat([1 + randn(DIM), randn(DIM)])
+    sd[f"{P}lm_head.norm.weight"] = 1 + randn(total)
+    sd[f"{P}lm_head.norm.bias"] = randn(total)
+    return sd
+
+
+def _reference_torch_forward(sd, x, x_masked, style, context):
+    """Faithful re-enactment of the reference decoder forward in torch."""
+    import torch
+    import torch.nn.functional as F
+
+    token_values = _token_values()
+
+    def table(key):
+        # DiscreteContinuousEmbedding.weight (embeddings.py:124-152):
+        # discrete rows only at discrete_ids; dense value MLP over token
+        # values with discrete rows zeroed; padding value forced to 0
+        iw = sd[f"{P}token_emb.embs.{key}.index_weight"]
+        token_w = torch.zeros_like(iw)
+        token_w[DISC_IDS] = iw[DISC_IDS]
+        vals = torch.tensor(token_values[key]).clone()
+        vals[0] = 0.0
+        h = vals.view(-1, 1)
+        h = F.mish(h @ sd[f"{P}token_emb.embs.{key}.value_layer.0.0.weight"].t()
+                   + sd[f"{P}token_emb.embs.{key}.value_layer.0.0.bias"])
+        h = (h @ sd[f"{P}token_emb.embs.{key}.value_layer.1.0.weight"].t()
+             + sd[f"{P}token_emb.embs.{key}.value_layer.1.0.bias"])
+        h[DISC_IDS] = 0.0
+        return token_w + h
+
+    tables = {k: table(k) for k in NT}
+
+    def embed_seq(tokens):
+        parts = [tables[k][tokens[..., i]] for i, k in enumerate(NT)]
+        h = torch.cat(parts, dim=-1)
+        h = F.layer_norm(h, h.shape[-1:], sd[f"{P}token_emb.norm.weight"],
+                         sd[f"{P}token_emb.norm.bias"], eps=1e-5)
+        return h @ sd[f"{P}token_emb.project_emb.weight"].t() + sd[f"{P}token_emb.project_emb.bias"]
+
+    # multi-seq post-cat fusion (embeddings.py:246-258)
+    h = torch.cat([embed_seq(x), embed_seq(x_masked)], dim=-1)
+    h = h @ sd[f"{P}token_emb.project_multiemb.weight"].t() + sd[f"{P}token_emb.project_multiemb.bias"]
+    h = F.layer_norm(h, (DIM,), sd[f"{P}emb_norm.weight"], sd[f"{P}emb_norm.bias"], eps=1e-5)
+    # context concat then projection (transformer.py:174-187)
+    h = torch.cat([h, context], dim=-1)
+    h = h @ sd[f"{P}project_emb.weight"].t() + sd[f"{P}project_emb.bias"]
+
+    def ada(v, name):
+        gb = style @ sd[f"{name}.linear.weight"].t() + sd[f"{name}.linear.bias"]
+        gamma, beta = gb.chunk(2, dim=-1)
+        return gamma * F.layer_norm(v, (DIM,), eps=1e-5) + beta
+
+    t = x.shape[1]
+    causal = torch.triu(torch.ones(t, t, dtype=torch.bool), diagonal=1)
+    for i in range(2 * DEPTH):
+        resid = h
+        hn = ada(h, f"{P}transformer.layers.{i}.0.0")
+        if i % 2 == 0:
+            q = (hn @ sd[f"{P}transformer.layers.{i}.1.to_q.weight"].t())
+            q = q.view(*q.shape[:2], HEADS, DIM_HEAD).transpose(1, 2)
+            k = hn @ sd[f"{P}transformer.layers.{i}.1.to_k.weight"].t()
+            v = hn @ sd[f"{P}transformer.layers.{i}.1.to_v.weight"].t()
+            slopes = sd[f"{P}transformer.layers.{i}.1.rel_pos.learned_logslopes"].exp()
+            pos = torch.arange(t)
+            bias = -torch.abs(pos[None, None, :] - pos[None, :, None]) * slopes
+            dots = q @ k[:, None].transpose(-1, -2) * DIM_HEAD**-0.5 + bias[None]
+            dots = dots.masked_fill(causal, -torch.finfo(torch.float32).max / 2)
+            attn = F.softmax(dots, dim=-1, dtype=torch.float32)
+            out = attn @ v[:, None]
+            out = out.transpose(1, 2).reshape(*hn.shape[:2], HEADS * DIM_HEAD)
+            h = resid + out @ sd[f"{P}transformer.layers.{i}.1.to_out.weight"].t()
+        else:
+            pr = (hn @ sd[f"{P}transformer.layers.{i}.1.ff.0.proj.weight"].t()
+                  + sd[f"{P}transformer.layers.{i}.1.ff.0.proj.bias"])
+            a, gate = pr.chunk(2, dim=-1)
+            h = resid + (a * F.silu(gate)) @ sd[f"{P}transformer.layers.{i}.1.ff.3.weight"].t()
+    h = ada(h, f"{P}transformer.final_norm")
+
+    # tied LM head (embeddings.py:345-353)
+    h = h @ sd[f"{P}token_emb.project_emb.weight"]
+    h = F.layer_norm(h, h.shape[-1:], sd[f"{P}lm_head.norm.weight"],
+                     sd[f"{P}lm_head.norm.bias"], eps=1e-5)
+    logits, offset = {}, 0
+    for key in NT:
+        logits[key] = h[..., offset:offset + EMB] @ tables[key].t()
+        offset += EMB
+    return logits
+
+
+class TestNumericParity:
+    def test_converted_decoder_matches_torch_forward(self):
+        import torch
+
+        from scoreperformer_tpu.models.factory import build_tuple_transformer_config
+        from scoreperformer_tpu.models.tuple_transformer import TupleTransformerModule
+
+        sd = _make_reference_state_dict(seed=0)
+
+        cfg = build_tuple_transformer_config({
+            "dim": DIM,
+            "max_seq_len": 64,
+            "token_embeddings": {
+                "_target_": "multi-seq", "multiseq_mode": "post-cat",
+                "emb_dims": EMB, "mode": "cat", "emb_norm": True,
+                "discrete": False, "continuous": True, "continuous_dense": True,
+                "discrete_ids": DISC_IDS,
+                "token_values": {k: v.tolist() for k, v in _token_values().items()},
+            },
+            "emb_norm": True,
+            "use_abs_pos_emb": False,
+            "context_emb_dim": DIM,
+            "context_emb_mode": "cat",
+            "style_emb_dim": STYLE,
+            "style_emb_mode": "adanorm",
+            "transformer": {
+                "_target_": "decoder", "depth": DEPTH, "heads": HEADS,
+                "attention": {"dim_head": DIM_HEAD, "one_kv_head": True,
+                              "alibi_pos_bias": True, "alibi_learned": True},
+                "feed_forward": {"mult": 2, "glu": True, "swish": True},
+            },
+            "lm_head": {"_target_": "lm-tied"},
+        })
+        module = TupleTransformerModule(num_tokens=NT, config=cfg)
+
+        rng = np.random.RandomState(7)
+        b, t = 2, 12
+        x = np.stack([rng.randint(0, v, (b, t)) for v in NT.values()], -1)
+        xm = x.copy()
+        xm[..., -1] = 1  # masked Velocity stream
+        style = rng.randn(b, t, STYLE).astype(np.float32)
+        context = rng.randn(b, t, DIM).astype(np.float32)
+
+        params = module.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), x_extra=[jnp.asarray(xm)],
+            style_embeddings=jnp.asarray(style), context=jnp.asarray(context),
+        )["params"]
+
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        converted, missing = convert_reference_state_dict(
+            sd_np, {"perf_decoder": params}, strict=True
+        )
+        assert not missing
+
+        out = module.apply(
+            {"params": jax.tree.map(jnp.asarray, converted["perf_decoder"])},
+            jnp.asarray(x), x_extra=[jnp.asarray(xm)],
+            style_embeddings=jnp.asarray(style), context=jnp.asarray(context),
+            deterministic=True,
+        )
+
+        ref_logits = _reference_torch_forward(
+            sd, torch.tensor(x), torch.tensor(xm),
+            torch.tensor(style), torch.tensor(context),
+        )
+        for key in NT:
+            np.testing.assert_allclose(
+                np.asarray(out.logits[key]), ref_logits[key].numpy(),
+                rtol=1e-5, atol=1e-5, err_msg=key,
+            )
+
+

@@ -23,6 +23,21 @@ def main():
     from scoreperformer_tpu.training import ExperimentComponents
 
     components = ExperimentComponents.from_yaml(args.root, args.name)
+
+    # multi-host hook: jax.distributed.initialize() must run before any jax
+    # op touches the backend (SURVEY §2.8); the Trainer would be too late.
+    tr_cfg = components.config.get("trainer") or {}
+    if tr_cfg.get("multihost"):
+        from types import SimpleNamespace
+
+        from scoreperformer_tpu.parallel import maybe_distributed_initialize
+
+        maybe_distributed_initialize(SimpleNamespace(
+            coordinator_address=tr_cfg.get("coordinator_address"),
+            num_processes=tr_cfg.get("num_processes"),
+            process_id=tr_cfg.get("process_id"),
+        ))
+
     components.init_components()
 
     if args.eval_only:
