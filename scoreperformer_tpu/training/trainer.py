@@ -96,6 +96,9 @@ class TrainerConfig(ModuleConfig):
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
     bf16_compute: bool = False
+    # TensorBoard event files in {output_dir}/tb via the self-contained
+    # writer (training/tensorboard.py; reference integrations.py:14-55)
+    tensorboard: bool = True
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY §5 sanitizers)
     # jax.profiler trace of [profile_start_step, +profile_num_steps) steps
     profile_dir: Optional[str] = None
@@ -205,6 +208,10 @@ class Trainer:
         from .callbacks import FileLogCallback, JSONLMetricsCallback
 
         cb = [DefaultFlowCallback(), JSONLMetricsCallback(), FileLogCallback()]
+        if config.tensorboard:
+            from .callbacks import TensorBoardCallback
+
+            cb.append(TensorBoardCallback())
         if not config.disable_progress:
             cb.append(ProgressCallback(config.progress_metrics, config.progress_steps))
         cb += callbacks or []
