@@ -248,12 +248,33 @@ class TupleTokenEmbeddings(nn.Module):
         """x @ W.T — the tied-head direction (embeddings.py:345)."""
         return x @ self.project_kernel.T
 
+    @property
+    def _uniform_dim(self) -> Optional[int]:
+        dims = list(self.emb_dims_map.values())
+        return dims[0] if all(d == dims[0] for d in dims) else None
+
     def _forward_single(self, x: jnp.ndarray) -> jnp.ndarray:
-        parts = [self.stream_emb(key)(x[..., i]) for i, key in enumerate(self.num_tokens)]
-        if self.config.mode == "cat":
-            h = jnp.concatenate(parts, axis=-1)
+        if self._uniform_dim is not None:
+            # fused path: ONE gather from the concatenated per-stream tables
+            # instead of S separate gathers + concat. Inside a decode scan the
+            # table concat is loop-invariant (function of params only) and XLA
+            # hoists it; the per-step op count drops S-fold. Values are
+            # bit-identical to the per-stream path in "cat" mode.
+            tables = [self.stream_emb(key).table() for key in self.num_tokens]
+            sizes = np.array([t.shape[0] for t in tables])
+            offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]))
+            fused = jnp.concatenate(tables, axis=0)
+            h = jnp.take(fused, x + offsets, axis=0)  # (..., S, d)
+            if self.config.mode == "cat":
+                h = h.reshape(*x.shape[:-1], -1)
+            else:
+                h = h.sum(axis=-2)
         else:
-            h = sum(parts)
+            parts = [self.stream_emb(key)(x[..., i]) for i, key in enumerate(self.num_tokens)]
+            if self.config.mode == "cat":
+                h = jnp.concatenate(parts, axis=-1)
+            else:
+                h = sum(parts)
         if self.norm is not None:
             h = self.norm(h)
         if self.config.mode == "cat" and self.has_project:
@@ -326,7 +347,15 @@ class TupleTokenTiedLMHead(nn.Module):
     reuse_projection: bool = True
 
     @nn.compact
-    def __call__(self, x, keys: Optional[List[str]] = None) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, x, keys: Optional[List[str]] = None, batched: bool = False
+    ):
+        """Per-stream logits dict, or — with `batched=True` and uniform
+        stream dims — ONE (..., S, Vmax) tensor from a single batched matmul
+        against zero-padded stacked tables (cols >= V_s are exactly the
+        unpadded logits' complement: zero rows give 0 logits, maskable by the
+        caller). S small matmuls collapse into one MXU-friendly einsum; the
+        table stack is loop-invariant under jit and hoisted out of scans."""
         embeddings = self.embeddings
         total = embeddings.total_emb_dim
 
@@ -338,6 +367,17 @@ class TupleTokenTiedLMHead(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
         tables = embeddings.tables()
+        if batched:
+            dim = embeddings._uniform_dim
+            assert dim is not None, "batched head requires uniform stream dims"
+            assert keys is None, "batched head emits all streams"
+            vmax = max(t.shape[0] for t in tables.values())
+            stacked = jnp.stack(
+                [jnp.pad(t, ((0, vmax - t.shape[0]), (0, 0))) for t in tables.values()]
+            )  # (S, Vmax, d)
+            hs = h.reshape(*h.shape[:-1], len(tables), dim)
+            return jnp.einsum("...sd,svd->...sv", hs, stacked)
+
         logits = {}
         offset = 0
         for key in embeddings.num_tokens:

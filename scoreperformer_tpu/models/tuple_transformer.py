@@ -280,6 +280,11 @@ class TupleTransformerModule(nn.Module):
             hiddens=hiddens if return_hiddens else None,
         )
 
-    def apply_lm_head(self, hidden, keys=None):
+    def apply_lm_head(self, hidden, keys=None, batched=False):
         assert self.lm_head is not None
+        if batched:
+            assert isinstance(self.lm_head, TupleTokenTiedLMHead), (
+                "batched logits are only available on the tied LM head"
+            )
+            return self.lm_head(hidden, batched=True)
         return self.lm_head(hidden, keys=keys)

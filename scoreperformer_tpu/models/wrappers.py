@@ -28,6 +28,14 @@ from ..ops.sampling import top_k
 
 NEG_INF = -1e9
 
+# Batched sampling in mixedlm_unmask (one padded top_k + categorical over all
+# streams instead of S of each). Measured on v5e-1 at the flagship config
+# (batch 512, seq 256): 229k tok/s vs 302k for the per-stream path — the
+# uniform kmax does ~5x the per-stream top_k work and the pad/stack adds
+# traffic, so the per-stream path stays the default. The batched path is
+# kept (and equivalence-tested) for configs with many same-sized streams.
+BATCHED_SAMPLING = False
+
 
 def _sample_stream(rng, logits, temperature, filter_fn, filter_kwargs, greedy):
     if greedy:
@@ -62,6 +70,41 @@ def make_lm_head(model, variables):
             variables,
             hidden,
             method=lambda m, h: m.perf_decoder.apply_lm_head(h),
+        )
+
+    return head
+
+
+def _stream_order(model) -> Dict[str, int]:
+    order = getattr(model.config, "num_tokens", None)  # ScorePerformerModel
+    if not order:
+        order = getattr(model, "num_tokens", None)  # PerformerModel field
+    assert order, "model carries no num_tokens stream order"
+    return order
+
+
+def _supports_batched_head(model) -> bool:
+    """Batched (S, Vmax) logits need a tied head over uniform stream dims."""
+    cfg = getattr(model.config, "perf_decoder", None) or getattr(
+        model.config, "transformer", None
+    )
+    if cfg is None or getattr(cfg, "lm_head", None) is None:
+        return False
+    if cfg.lm_head._target_ != "lm-tied":
+        return False
+    emb_dims = cfg.token_embeddings.emb_dims
+    if emb_dims is None or isinstance(emb_dims, int):
+        return True
+    dims = list(emb_dims.values())
+    return all(d == dims[0] for d in dims)
+
+
+def make_batched_lm_head(model, variables):
+    def head(hidden):
+        return model.apply(
+            variables,
+            hidden,
+            method=lambda m, h: m.perf_decoder.apply_lm_head(h, batched=True),
         )
 
     return head
@@ -108,6 +151,8 @@ def mixedlm_unmask(
     `tokens_masked` is the fully-masked parallel stream. Returns tokens with
     masks filled. Positions >= valid_len are left untouched.
     """
+    import math
+
     b, T, S = tokens.shape
     decode_step = make_decode_step(model, variables)
     lm_head = make_lm_head(model, variables)
@@ -119,6 +164,61 @@ def mixedlm_unmask(
     unmask_mask = tokens == mask_token_id
     if valid_len is None:
         valid_len = jnp.full((b,), T, dtype=jnp.int32)
+
+    # Fast path: keep the exact per-stream logits, but run ONE top_k and ONE
+    # categorical over a padded (b, S, Vmax) stack instead of S of each — the
+    # decode step is op-count-bound on TPU (measured: per-stream sampling is
+    # ~12% of step time at batch 512, and a padded batched tied-head einsum
+    # REGRESSED throughput, so only the sampling ops are batched). Per-stream
+    # top-k semantics are preserved EXACTLY by taking kmax candidates and
+    # reading each stream's own k-th value as its threshold
+    # (tests/test_ops.py::test_batched_topk_threshold_matches_streamwise);
+    # samples draw from the same distributions but a different RNG stream
+    # than the per-stream path.
+    from ..ops.sampling import top_k as _default_top_k
+
+    use_batched = BATCHED_SAMPLING and (greedy or filter_fn is _default_top_k)
+    if use_batched:
+        order = _stream_order(model)
+        sizes = list(order.values())
+        assert len(sizes) == S
+        vmax = max(sizes)
+        col = np.arange(vmax)
+        col_mask_np = np.zeros((S, vmax), np.float32)
+        for s, V in enumerate(sizes):
+            invalid = (col >= V) | (col == pad_token_id) | (col == mask_token_id)
+            if forbid_ids and s in forbid_ids:
+                invalid |= np.isin(col, np.asarray(forbid_ids[s]))
+            col_mask_np[s, invalid] = NEG_INF
+        col_mask = jnp.asarray(col_mask_np)
+        if not greedy:
+            thres = (filter_kwargs or {}).get("thres", 0.9)
+            kfix = (filter_kwargs or {}).get("k")
+            k_s = [
+                max(1, min(int(kfix) if kfix else math.ceil((1 - thres) * V), V))
+                for V in sizes
+            ]
+            kmax = max(k_s)
+            k_idx = jnp.asarray(np.array(k_s) - 1)
+
+    def _sample_batched(step_rng, logits):
+        cols = logits_by_column(model, logits)
+        lg = jnp.stack(
+            [
+                jnp.pad(l, ((0, 0), (0, vmax - l.shape[-1])), constant_values=NEG_INF)
+                for _, _, l in cols
+            ],
+            axis=1,
+        )  # (b, S, Vmax)
+        lg = lg + col_mask[None]
+        if greedy:
+            return jnp.argmax(lg, axis=-1)
+        vals = jax.lax.top_k(lg, kmax)[0]  # (b, S, kmax) sorted desc
+        kth = jnp.take_along_axis(
+            vals, jnp.broadcast_to(k_idx[None, :, None], (lg.shape[0], S, 1)), axis=-1
+        )
+        filtered = jnp.where(lg < kth, NEG_INF, lg)
+        return jax.random.categorical(step_rng, filtered / temperature, axis=-1)
 
     def body(carry, j):
         tokens, caches, rng = carry
@@ -141,16 +241,19 @@ def mixedlm_unmask(
         hidden, caches = decode_step(seq_j, masked_j, style_j, context_j, caches, j)
         logits = lm_head(hidden[:, 0])  # dict of (b, V_s)
 
-        new_vals = []
-        rngs = jax.random.split(step_rng, S)
-        for s, key, lg in logits_by_column(model, logits):
-            lg = lg.at[:, pad_token_id].set(NEG_INF).at[:, mask_token_id].set(NEG_INF)
-            if forbid_ids and s in forbid_ids:
-                lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
-            new_vals.append(
-                _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
-            )
-        samples = jnp.stack(new_vals, axis=-1)  # (b, S)
+        if use_batched:
+            samples = _sample_batched(step_rng, logits)  # (b, S)
+        else:
+            new_vals = []
+            rngs = jax.random.split(step_rng, S)
+            for s, key, lg in logits_by_column(model, logits):
+                lg = lg.at[:, pad_token_id].set(NEG_INF).at[:, mask_token_id].set(NEG_INF)
+                if forbid_ids and s in forbid_ids:
+                    lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
+                new_vals.append(
+                    _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
+                )
+            samples = jnp.stack(new_vals, axis=-1)  # (b, S)
 
         target = jax.lax.dynamic_slice_in_dim(tokens, j + 1, 1, axis=1)[:, 0]
         was_masked = jax.lax.dynamic_slice_in_dim(unmask_mask, j + 1, 1, axis=1)[:, 0]

@@ -192,6 +192,21 @@ class TestTupleTransformer:
         assert out.logits["Position"].shape == (2, 8, 36)
         assert np.isfinite(np.array(out.logits["Pitch"])).all()
 
+    def test_tied_head_batched_matches_dict(self, sp_model):
+        """Batched (S, Vmax) tied-head logits slice back to the per-stream
+        dict exactly (padded table rows are zero, cols beyond V_s unused)."""
+        model, variables, _ = sp_model
+        hidden = jnp.asarray(np.random.RandomState(3).randn(2, 5, 32).astype(np.float32))
+        d = model.apply(variables, hidden,
+                        method=lambda m, h: m.perf_decoder.apply_lm_head(h))
+        b = model.apply(variables, hidden,
+                        method=lambda m, h: m.perf_decoder.apply_lm_head(h, batched=True))
+        assert b.shape == (2, 5, len(NUM_TOKENS), max(NUM_TOKENS.values()))
+        for s, (key, V) in enumerate(NUM_TOKENS.items()):
+            np.testing.assert_allclose(
+                np.asarray(b[..., s, :V]), np.asarray(d[key]), atol=2e-5, err_msg=key
+            )
+
     def test_padding_token_zero_embedding(self):
         from scoreperformer_tpu.models.embeddings import StreamEmbedding
 
@@ -403,6 +418,28 @@ class TestWrappers:
         # so everything up to absolute position W+1 matches the full cache
         n_same = W + 2 - start.shape[1]
         np.testing.assert_array_equal(gen_w[:, :n_same], gen_f[:, :n_same])
+
+    def test_mixedlm_unmask_batched_path_matches_streamwise(self, sp_model, monkeypatch):
+        """The fused (batched head + batched sampling) fast path must emit
+        exactly the per-stream path's tokens under greedy decoding."""
+        import scoreperformer_tpu.models.wrappers as W
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+            greedy=True,
+        )
+        monkeypatch.setattr(W, "BATCHED_SAMPLING", True)
+        fast = np.array(mixedlm_unmask(model, variables, tokens,
+                                       batch["masked_perf"], **kwargs))
+        monkeypatch.setattr(W, "BATCHED_SAMPLING", False)
+        slow = np.array(mixedlm_unmask(model, variables, tokens,
+                                       batch["masked_perf"], **kwargs))
+        np.testing.assert_array_equal(fast, slow)
 
     def test_mixedlm_unmask_fills_masks(self, sp_model):
         from scoreperformer_tpu.models.wrappers import mixedlm_unmask

@@ -120,3 +120,40 @@ class TestSampling:
             jax.random.PRNGKey(0), logits, top_k, {"k": 1}, sample=False
         )
         assert float(probs[0, 1]) > 0.999
+
+
+def test_batched_topk_threshold_matches_streamwise():
+    """The batched-sampling kmax trick: taking kmax candidates and reading
+    each stream's own k-th value as its threshold keeps EXACTLY the same
+    candidate set as per-stream top_k (models/wrappers.py fast path)."""
+    import math
+
+    import jax
+    import numpy as np
+
+    from scoreperformer_tpu.ops.sampling import top_k
+
+    rng = np.random.RandomState(0)
+    sizes = [12, 9, 30, 4]
+    vmax = max(sizes)
+    b = 5
+    thres = 0.9
+    NEG = -1e9
+
+    lg = rng.randn(b, len(sizes), vmax).astype(np.float32) * 3
+    for s, V in enumerate(sizes):
+        lg[:, s, V:] = NEG  # padded columns
+
+    k_s = [max(1, min(math.ceil((1 - thres) * V), V)) for V in sizes]
+    kmax = max(k_s)
+    vals = jax.lax.top_k(jnp.asarray(lg), kmax)[0]
+    k_idx = jnp.asarray(np.array(k_s) - 1)
+    kth = jnp.take_along_axis(
+        vals, jnp.broadcast_to(k_idx[None, :, None], (b, len(sizes), 1)), axis=-1
+    )
+    batched_keep = np.asarray(lg >= np.asarray(kth))
+
+    for s, V in enumerate(sizes):
+        ref = np.asarray(top_k(jnp.asarray(lg[:, s, :V]), thres=thres))
+        ref_keep = np.isfinite(ref)
+        np.testing.assert_array_equal(batched_keep[:, s, :V], ref_keep, err_msg=f"stream {s}")
