@@ -59,24 +59,33 @@ class RenderServer:
 
         model = self.model
 
-        def encode(variables, perf, pmask, score, smask, bars, beats, onsets):
-            return model.apply(
+        # total style latent dim, known from the config (so style_delta can be
+        # validated without waiting on device outputs)
+        latent_dim = getattr(self.model_cfg.perf_encoder, "latent_dim", 0)
+        self.style_dim = int(
+            sum(latent_dim) if isinstance(latent_dim, (list, tuple)) else latent_dim
+        )
+
+        def render_step(variables, perf, pmask, score, smask, bars, beats,
+                        onsets, tokens_in, masked_all, delta, rng, valid_len,
+                        temperature, greedy):
+            # ONE compiled program for encode + style steering + decode scan:
+            # a split encode/decode needed a device sync between the two
+            # dispatches, which on a tunneled remote chip costs a full round
+            # trip per request. The style delta is added inside the compiled
+            # path (a host-side eager add would trigger a remote compile).
+            score_emb, style_emb, _ = model.apply(
                 variables, perf, pmask, score, smask, bars, beats, onsets,
                 method="encode_embeddings", rngs={"mmd": jax.random.PRNGKey(0)},
             )
-
-        def unmask(variables, tokens_in, masked_all, style, context, delta, rng, valid_len, temperature, greedy):
-            # style steering inside the compiled path: a host-side eager add
-            # would trigger a full remote compile on some TPU platforms
-            style = style + delta[None, None, :]
+            style = style_emb + delta[None, None, :]
             return mixedlm_unmask(
                 model, variables, tokens_in, masked_all, rng=rng,
-                style_embeddings=style, context=context, valid_len=valid_len,
+                style_embeddings=style, context=score_emb, valid_len=valid_len,
                 temperature=temperature, filter_fn=top_k, greedy=greedy,
             )
 
-        self._encode = jax.jit(encode)
-        self._unmask = jax.jit(unmask, static_argnames=("greedy",))
+        self._render_step = jax.jit(render_step, static_argnames=("greedy",))
 
     # ---- helpers ----
 
@@ -110,16 +119,13 @@ class RenderServer:
             mask = jnp.asarray((np.arange(T_pad) < 1)[None])
             tokens_in = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
             masked_all = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
+            delta = jnp.asarray(np.zeros(self.style_dim, np.float32))
             with self._lock:
-                score_emb, style_emb, _ = self._encode(
-                    self.variables, perf, mask, score, mask, *zs
-                )
-                jax.block_until_ready(style_emb)
-                delta = jnp.asarray(np.zeros(style_emb.shape[-1], np.float32))
                 for greedy in greedy_variants:
-                    out = self._unmask(
-                        self.variables, tokens_in, masked_all, style_emb, score_emb,
-                        delta, jax.random.PRNGKey(0), jnp.asarray([1], jnp.int32),
+                    out = self._render_step(
+                        self.variables, perf, mask, score, mask, *zs,
+                        tokens_in, masked_all, delta, jax.random.PRNGKey(0),
+                        jnp.asarray([1], jnp.int32),
                         jnp.asarray(1.0, jnp.float32), greedy,
                     )
                     jax.block_until_ready(out)
@@ -168,27 +174,22 @@ class RenderServer:
         tokens_in = dev(inputs["tokens_in"])
         masked_all = dev(inputs["masked_all"])
 
+        if style_delta is not None:
+            delta = np.asarray(style_delta, np.float32).reshape(-1)
+            if delta.shape[0] != self.style_dim:
+                raise ValueError(
+                    f"style_delta has {delta.shape[0]} dims, "
+                    f"style embedding has {self.style_dim}"
+                )
+        else:
+            delta = np.zeros(self.style_dim, np.float32)
+
         t_prep = time.perf_counter()
         with self._lock:
-            score_emb, style_emb, _ = self._encode(
-                self.variables, perf, mask, score, mask, bars, beats, onsets
-            )
-            jax.block_until_ready(style_emb)
-            t_enc = time.perf_counter()
-            style_dim = int(style_emb.shape[-1])
-            if style_delta is not None:
-                delta = np.asarray(style_delta, np.float32).reshape(-1)
-                if delta.shape[0] != style_dim:
-                    raise ValueError(
-                        f"style_delta has {delta.shape[0]} dims, "
-                        f"style embedding has {style_dim}"
-                    )
-            else:
-                delta = np.zeros(style_dim, np.float32)
-            out = self._unmask(
-                self.variables, tokens_in, masked_all, style_emb, score_emb,
-                jnp.asarray(delta), jax.random.PRNGKey(seed),
-                jnp.asarray([T], jnp.int32),
+            out = self._render_step(
+                self.variables, perf, mask, score, mask, bars, beats, onsets,
+                tokens_in, masked_all, jnp.asarray(delta),
+                jax.random.PRNGKey(seed), jnp.asarray([T], jnp.int32),
                 jnp.asarray(temperature, jnp.float32), greedy,
             )
             out_tokens = np.asarray(jax.device_get(out))[0, :T]
@@ -207,8 +208,7 @@ class RenderServer:
             "padded_to": T_pad,
             "timings": {
                 "prepare_ms": ms(t_start, t_prep),
-                "encode_ms": ms(t_prep, t_enc),
-                "decode_ms": ms(t_enc, t_dec),
+                "render_ms": ms(t_prep, t_dec),
                 "detok_ms": ms(t_dec, time.perf_counter()),
             },
         }
