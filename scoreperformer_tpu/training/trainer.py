@@ -96,6 +96,9 @@ class TrainerConfig(ModuleConfig):
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
     bf16_compute: bool = False
+    # activation rematerialization (jax.checkpoint) in the train step:
+    # recompute the forward during backward instead of storing activations
+    remat: bool = False
     # TensorBoard event files in {output_dir}/tb via the self-contained
     # writer (training/tensorboard.py; reference integrations.py:14-55)
     tensorboard: bool = True
@@ -267,7 +270,18 @@ class Trainer:
         model = self.model
         tx = self.tx
         bf16 = self.config.bf16_compute
+        remat = self.config.remat
         trainable = freeze_mask(self.params, self.config.finetune_layers)
+
+        def forward(p, batch, rngs):
+            out = model.apply({"params": p}, **batch, deterministic=False, rngs=rngs)
+            return out.loss.astype(jnp.float32), out.losses
+
+        if remat:
+            # trade recompute for activation memory (HBM): the backward pass
+            # re-runs the forward instead of keeping every intermediate live.
+            # Irrelevant at the flagship size; the lever for big configs.
+            forward = jax.checkpoint(forward, static_argnums=())
 
         def train_step(params, opt_state, batch, rng):
             rngs = {
@@ -278,8 +292,7 @@ class Trainer:
 
             def loss_fn(p):
                 p_c = _cast_tree(p, jnp.bfloat16) if bf16 else p
-                out = model.apply({"params": p_c}, **batch, deterministic=False, rngs=rngs)
-                return out.loss.astype(jnp.float32), out.losses
+                return forward(p_c, batch, rngs)
 
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = _cast_tree(grads, jnp.float32)

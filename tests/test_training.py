@@ -243,6 +243,27 @@ class TestTrainer:
         ckpt = load_checkpoint(str(tmp_path / "run3" / "checkpoint_last"))
         assert ckpt["trainer_state"]["global_step"] == state.global_step
 
+    def test_remat_matches_plain_training(self, setup, tmp_path):
+        """jax.checkpoint rematerialization must not change the training
+        math — identical loss trajectory with and without it."""
+        dataset, collator, model, model_config = setup
+        histories = []
+        for remat in (False, True):
+            config = TrainerConfig(
+                output_dir=str(tmp_path / f"remat{int(remat)}"), epochs=1,
+                batch_size=2, save_strategy="no", eval_strategy="no",
+                log_strategy="epoch", disable_progress=True, seed=5,
+                remat=remat, tensorboard=False,
+            )
+            trainer = Trainer(model=model, config=config, train_dataset=dataset,
+                              eval_dataset=None, collator=collator,
+                              model_config=model_config)
+            state = trainer.train()
+            histories.append(
+                [l["train/loss"] for l in state.log_history if "train/loss" in l]
+            )
+        assert histories[0] == pytest.approx(histories[1], rel=1e-5)
+
     def test_mesh_device_drop_warns(self, setup, tmp_path):
         """Silently training on a sub-mesh was round-1 weak #4: now warned."""
         dataset, collator, model, model_config = setup
