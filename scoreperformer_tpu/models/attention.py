@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.kv_cache import write_kv
 from .layers import ALiBiPositionalBias
 
 MASK_VALUE = -1e9
@@ -23,10 +24,15 @@ MASK_VALUE = -1e9
 def init_kv_cache(
     batch: int, max_len: int, kv_dim: int, dtype=jnp.float32
 ) -> Dict[str, jnp.ndarray]:
-    """Fixed-size cache buffer for one attention layer."""
+    """Fixed-size cache buffer for one attention layer.
+
+    TIME-MAJOR layout (max_len, batch, kv_dim): single-position decode writes
+    are then contiguous rows, served by the in-place Pallas DMA on TPU
+    (ops/kv_cache.py) instead of a full-buffer-copying dynamic_update_slice.
+    """
     return {
-        "k": jnp.zeros((batch, max_len, kv_dim), dtype),
-        "v": jnp.zeros((batch, max_len, kv_dim), dtype),
+        "k": jnp.zeros((max_len, batch, kv_dim), dtype),
+        "v": jnp.zeros((max_len, batch, kv_dim), dtype),
     }
 
 
@@ -138,7 +144,7 @@ class Attention(nn.Module):
         if has_cache:
             assert context is None, "cache is not compatible with cross-attention"
             idx = cache_index if cache_index is not None else 0
-            cap = cache["k"].shape[1]
+            cap = cache["k"].shape[0]  # time-major (cap, b, kv_dim)
             # Ring buffer: writes at `cache_index % capacity`. While the
             # absolute position stays below capacity this is the plain linear
             # cache; past capacity, single-token decode steps wrap and the
@@ -147,31 +153,33 @@ class Attention(nn.Module):
             # (wrappers.py:236-237) with no re-prefill. Multi-token writes
             # must not wrap (prefill length <= capacity is asserted upstream).
             slot = idx % cap
-            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, slot, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, slot, 0))
-            new_cache = {"k": k, "v": v}
-            j = k.shape[1]
+            k_t = write_kv(cache["k"], k.swapaxes(0, 1), slot)  # (cap, b, kv)
+            v_t = write_kv(cache["v"], v.swapaxes(0, 1), slot)
+            new_cache = {"k": k_t, "v": v_t}
+            j = cap
             pos_q = idx + jnp.arange(n)
             # absolute position held by each slot: the latest write at or
             # before the last query position that maps to that slot
             p_last = idx + n - 1
             key_pos = p_last - ((p_last - jnp.arange(j)) % cap)
             key_valid = key_pos >= 0  # slots never written are "negative"
+            if self.one_kv_head:
+                dots = jnp.einsum("bhid,jbd->bhij", q, k_t) * scale
+            else:
+                dots = jnp.einsum("bhid,jbhd->bhij", q, k_t.reshape(j, b, h, d)) * scale
         else:
             new_cache = None
             j = k.shape[1]
             pos_q = (j - n) + jnp.arange(n) if context is None else jnp.arange(n)
             key_pos = None
             key_valid = None
-
-        if self.one_kv_head:
-            k_h = k[:, None]  # b 1 j d
-            v_h = v[:, None]
-        else:
-            k_h = k.reshape(b, j, h, d).transpose(0, 2, 1, 3)
-            v_h = v.reshape(b, j, h, d).transpose(0, 2, 1, 3)
-
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k_h) * scale
+            if self.one_kv_head:
+                k_h = k[:, None]  # b 1 j d
+                v_h = v[:, None]
+            else:
+                k_h = k.reshape(b, j, h, d).transpose(0, 2, 1, 3)
+                v_h = v.reshape(b, j, h, d).transpose(0, 2, 1, 3)
+            dots = jnp.einsum("bhid,bhjd->bhij", q, k_h) * scale
 
         # --- additive bias: ALiBi ---
         if self.rel_pos is not None:
@@ -214,7 +222,13 @@ class Attention(nn.Module):
         if self.attn_dropout is not None:
             attn = self.attn_dropout(attn, deterministic=deterministic)
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v_h)
+        if has_cache:
+            if self.one_kv_head:
+                out = jnp.einsum("bhij,jbd->bhid", attn, v_t)
+            else:
+                out = jnp.einsum("bhij,jbhd->bhid", attn, v_t.reshape(j, b, h, d))
+        else:
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v_h)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = self.to_out(out)
 

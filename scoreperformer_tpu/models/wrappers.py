@@ -144,12 +144,17 @@ def mixedlm_unmask(
     mask_token_id: int = 1,
     pad_token_id: int = 0,
     forbid_ids: Optional[Dict[int, jnp.ndarray]] = None,
+    cache_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
 
     `tokens` is (b, T, S) with MASK at the positions/streams to predict;
     `tokens_masked` is the fully-masked parallel stream. Returns tokens with
     masks filled. Positions >= valid_len are left untouched.
+
+    `cache_dtype=jnp.bfloat16` halves the KV-cache traffic that dominates the
+    decode step (profiled: cache writes+reads are ~75% of step time at the
+    flagship config); logits/softmax stay fp32.
     """
     import math
 
@@ -158,7 +163,8 @@ def mixedlm_unmask(
     lm_head = make_lm_head(model, variables)
 
     caches = model.apply(
-        variables, b, T, method=lambda m, bb, tt: m.init_decoder_cache(bb, tt)
+        variables, b, T,
+        method=lambda m, bb, tt: m.init_decoder_cache(bb, tt, dtype=cache_dtype),
     )
 
     unmask_mask = tokens == mask_token_id
