@@ -158,3 +158,59 @@ def test_multihost_helpers_single_process():
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     np.testing.assert_array_equal(np.asarray(out["y"]), batch["y"])
     assert out["x"].sharding.is_equivalent_to(sharding, 2)
+
+
+def test_sharded_batched_decode_matches_single_device():
+    """Serving scale-out: the whole MixedLM decode scan jits over a
+    data-parallel mesh with the batch sharded, and greedy outputs are
+    IDENTICAL to the single-device run (decode is per-row independent)."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+    from scoreperformer_tpu.parallel import batch_sharding, make_mesh, shard_params
+
+    spec = importlib.util.spec_from_file_location("tm", "tests/test_models.py")
+    tm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tm)
+
+    cfg = tm.build_scoreperformer_config(tm.model_config())
+    model = tm.ScorePerformerModel(config=cfg)
+    batch = tm.make_batch(b=8, t=12, seed=4)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+    variables = model.init(
+        rngs, batch["perf"], perf_mask=batch["mask"], score=batch["score"],
+        score_mask=batch["mask"], masked_perf=batch["masked_perf"],
+        labels=batch["labels"], bars=batch["bars"], beats=batch["beats"],
+        onsets=batch["onsets"], directions=batch["directions"],
+        deadpan_mask=batch["deadpan"], deterministic=True,
+    )
+
+    tokens = batch["perf"].at[:, 1:, -2:].set(1)
+    style = jnp.zeros((8, 12, 20))
+    ctx = jnp.zeros((8, 12, 32))
+
+    def unmask(params, tokens, masked, style, ctx):
+        return mixedlm_unmask(
+            model, {"params": params}, tokens, masked,
+            rng=jax.random.PRNGKey(0), style_embeddings=style, context=ctx,
+            greedy=True,
+        )
+
+    single = np.array(jax.jit(unmask)(
+        variables["params"], tokens, batch["masked_perf"], style, ctx
+    ))
+
+    mesh = make_mesh(8, 1)
+    params = shard_params(variables["params"], mesh)
+    bs = batch_sharding(mesh)
+    sharded = np.array(jax.jit(unmask)(
+        params,
+        jax.device_put(tokens, bs),
+        jax.device_put(batch["masked_perf"], bs),
+        jax.device_put(style, bs),
+        jax.device_put(ctx, bs),
+    ))
+    np.testing.assert_array_equal(single, sharded)
