@@ -267,3 +267,139 @@ class TestSPMupleV1:
         midi = tok.performance_tokens_to_midi(perf_seq)
         out = midi.tracks[0].notes.sort("time")
         assert out.start.tolist() == sorted(notes.start.tolist())
+
+
+class TestTempoScanOracle:
+    """The restructured SPMuple2 encode core (vectorized onset grouping +
+    carried-offset clamp scan) against an independent oracle that follows the
+    REFERENCE algorithm's shape literally — per-onset boolean-mask passes and
+    in-place mutation of all future time arrays (reference spmuple2.py:
+    193-308). Random inputs; bit-level agreement required."""
+
+    def _oracle(self, tok, score_ticks, perf_times, is_performed, tempo_scale):
+        ap = tok.config.additional_params
+        dev_limit = tok.rel_onset_deviations[-1]
+        perf_times = perf_times.copy()
+        score_onsets = np.unique(score_ticks[is_performed])
+
+        onset_pairs = [(0.0, 0.0)]
+        for onset_tick in score_onsets:
+            m = score_ticks == onset_tick
+            onset_pairs.append(
+                (float(onset_tick), float(perf_times[m][is_performed[m]].mean()))
+            )
+        onset_pairs = np.array(onset_pairs)
+
+        head = onset_pairs[onset_pairs[:, 1] <= 4 * ap["tempo_window"]]
+        if len(head) < ap["tempo_min_onsets"]:
+            head = onset_pairs[: ap["tempo_min_onsets"]]
+        initial_tempo = tok.compute_local_tempo(
+            head[head[:, 1] > 0.0] - head[0], tempo_scale
+        )
+        if onset_pairs[1, 0] == 0:
+            onset_pairs[0] = [-1, -1 / initial_tempo * tempo_scale]
+
+        n = len(score_ticks)
+        tempos = [initial_tempo]
+        note_tempos = np.zeros(n)
+        note_onsets = np.zeros((n, 2))
+        note_prev_onsets = np.zeros((n, 2))
+        for i in range(len(onset_pairs) - 1):
+            onset_tick, onset_time = onset_pairs[i + 1]
+            prev_tick, prev_time = onset_pairs[i]
+            m = score_ticks == onset_tick
+            shift = (onset_tick - prev_tick) / tempos[-1] * tempo_scale
+            devs = perf_times[m][is_performed[m]] - (prev_time + shift)
+            rels = devs / shift
+            start_idx = np.where(m)[0][0]
+            if np.any(np.abs(rels) > dev_limit):
+                s = 1 - dev_limit / np.abs(rels).max()
+                s *= -devs[np.abs(devs).argmax()]
+                onset_time += s
+                onset_pairs[i + 1 :, 1] += s
+                perf_times[start_idx:] += s
+            if onset_time < 2 * ap["tempo_min_onset_dist"]:
+                tempo = initial_tempo
+            else:
+                pairs = tok.filter_onsets_in_window(
+                    onset_pairs[i + 1], onset_pairs, index=i + 1
+                )
+                tempo = tok.compute_local_tempo(onset_pairs[i + 1] - pairs, tempo_scale)
+            tempos.append(tempo)
+            note_tempos[m] = tempos[i]
+            note_onsets[m] = onset_pairs[i + 1]
+            note_prev_onsets[m] = onset_pairs[i]
+        return initial_tempo, perf_times, note_tempos, note_onsets, note_prev_onsets
+
+    def test_restructured_core_matches_reference_shaped_oracle(self):
+        from scoreperformer_tpu.tokenizers import SPMupleWindow, TokenizerConfig
+
+        tok = SPMupleWindow(TokenizerConfig())
+        tempo_scale = 60.0 / 480
+
+        for seed in range(5):
+            rng = np.random.RandomState(seed)
+            n_onsets = rng.randint(12, 40)
+            ticks = np.cumsum(rng.randint(120, 960, n_onsets)).astype(float)
+            sizes = rng.randint(1, 5, n_onsets)
+            score_ticks = np.repeat(ticks, sizes)
+            n = len(score_ticks)
+            sec_per_tick = tempo_scale / 110.0
+            perf_times = score_ticks * sec_per_tick + rng.normal(0, 0.01, n)
+            # occasional gross outliers to exercise the clamp
+            out_idx = rng.choice(n, max(1, n // 10), replace=False)
+            perf_times[out_idx] += rng.choice([-1, 1], len(out_idx)) * rng.uniform(
+                0.5, 2.0, len(out_idx)
+            )
+            is_performed = rng.rand(n) > 0.15
+            # every onset needs >=1 performed note (grouping invariant)
+            first_of = np.searchsorted(score_ticks, ticks)
+            for f, sz in zip(first_of, sizes):
+                if not is_performed[f : f + sz].any():
+                    is_performed[f] = True
+
+            (init_o, times_o, tempos_o, onsets_o, prev_o) = self._oracle(
+                tok, score_ticks, perf_times, is_performed, tempo_scale
+            )
+
+            # production path: grouping + carry scan + lazy offsets
+            onset_ticks, group_start, note_onset_id = tok._group_by_onset(
+                score_ticks, is_performed
+            )
+            K = len(onset_ticks)
+            perf_group = note_onset_id[is_performed]
+            grouped = np.split(
+                perf_times[is_performed],
+                np.cumsum(np.bincount(perf_group, minlength=K))[:-1],
+            )
+            pairs = np.zeros((K + 1, 2))
+            pairs[1:, 0] = onset_ticks
+            pairs[1:, 1] = [g.mean() for g in grouped]
+            init_p = tok._initial_tempo(pairs, tempo_scale)
+            if pairs[1, 0] == 0:
+                pairs[0] = (-1.0, -1 / init_p * tempo_scale)
+            tempos, cum_off = tok._tempo_clamp_scan(pairs, grouped, init_p, tempo_scale)
+            owing = np.searchsorted(group_start, np.arange(n), side="right") - 1
+            note_off = np.where(owing >= 0, cum_off[np.maximum(owing, 0)], 0.0)
+            times_p = perf_times + note_off
+            hit = note_onset_id >= 0
+            gid = note_onset_id[hit]
+            tempos_p = np.zeros(n)
+            tempos_p[hit] = tempos[gid]
+            onsets_p = np.zeros((n, 2))
+            onsets_p[hit] = pairs[gid + 1]
+            prev_p = np.zeros((n, 2))
+            prev_p[hit] = pairs[gid]
+
+            # the oracle applies clamp shifts incrementally (t + s1) + s2 as
+            # the reference does; production applies the accumulated offset
+            # once: equal up to float reassociation (~1 ulp). Quantized
+            # tempos — the actual token-level spec — must match exactly.
+            assert init_p == init_o
+            np.testing.assert_allclose(times_p, times_o, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"seed {seed}")
+            np.testing.assert_array_equal(tempos_p, tempos_o, err_msg=f"seed {seed}")
+            np.testing.assert_allclose(onsets_p, onsets_o, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"seed {seed}")
+            np.testing.assert_allclose(prev_p, prev_o, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"seed {seed}")
