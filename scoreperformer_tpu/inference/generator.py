@@ -28,7 +28,16 @@ from .messengers import IntermediateData, SPMuple2IntermediateData, SPMupleMesse
 
 
 class StreamingDecoder:
-    """Single-step MixedLM decoder with a persistent static KV cache."""
+    """MixedLM decoder with a persistent static KV cache.
+
+    Tokens are consumed in BUCKETED CHUNKS (64/8/1), each chunk one compiled
+    `lax.scan` call: on a remote/tunneled chip every device call is a full
+    round trip, so consuming a ~256-token window one call per token cost
+    seconds; with buckets it is <=7 calls. At most three programs compile
+    (one per bucket length), reused forever.
+    """
+
+    CHUNKS = (64, 8, 1)
 
     def __init__(self, model, variables, max_context_len: int, num_streams: int):
         self.model = model
@@ -38,7 +47,7 @@ class StreamingDecoder:
         self.caches = None
         self.consumed = 0  # number of tokens written into the cache
 
-        self._step = jax.jit(self._step_fn)
+        self._consume = jax.jit(self._consume_fn)
 
     def reset(self):
         self.caches = None
@@ -52,21 +61,40 @@ class StreamingDecoder:
             method=lambda m, b, t: m.init_decoder_cache(b, t),
         )
 
-    def _step_fn(self, caches, seq_j, masked_j1, style_j1, ctx_j1, j):
-        out = self.model.apply(
-            self.variables,
-            seq_j,
-            masked_tokens=masked_j1,
-            style_embeddings=style_j1,
-            context=ctx_j1,
-            caches=caches,
-            cache_index=j,
-            method="decode_step",
+    def _consume_fn(self, caches, seq, masked, style, ctx, start):
+        """Consume `seq` (1, C, S) tokens at cache rows [start, start+C);
+        returns (caches, logits at position start+C). masked/style/ctx are
+        the +1-aligned companions (entries for positions start+1..start+C)."""
+        dim = None
+
+        def body(carry, i):
+            caches, _ = carry
+            out = self.model.apply(
+                self.variables,
+                jax.lax.dynamic_slice_in_dim(seq, i, 1, 1),
+                masked_tokens=jax.lax.dynamic_slice_in_dim(masked, i, 1, 1),
+                style_embeddings=(
+                    jax.lax.dynamic_slice_in_dim(style, i, 1, 1)
+                    if style is not None else None
+                ),
+                context=(
+                    jax.lax.dynamic_slice_in_dim(ctx, i, 1, 1)
+                    if ctx is not None else None
+                ),
+                caches=caches,
+                cache_index=start + i,
+                method="decode_step",
+            )
+            return (out.caches, out.hidden_state[:, -1]), None
+
+        hidden0 = jnp.zeros((seq.shape[0], self.model.perf_decoder_dim))
+        (caches, hidden), _ = jax.lax.scan(
+            body, (caches, hidden0), jnp.arange(seq.shape[1])
         )
         logits = self.model.apply(
-            self.variables, out.hidden_state[:, -1], method=lambda m, h: m.perf_decoder.apply_lm_head(h)
+            self.variables, hidden, method=lambda m, h: m.perf_decoder.apply_lm_head(h)
         )
-        return out.caches, logits
+        return caches, logits
 
     def predict(self, tokens, masked_tokens, style, context, position: int) -> Dict[str, np.ndarray]:
         """Consume final tokens up to `position`-1 and return logits for
@@ -76,19 +104,18 @@ class StreamingDecoder:
             self.consumed = 0
 
         logits = None
-        # consume any not-yet-consumed tokens (all final) one chunk at a time
         while self.consumed < position:
+            remaining = position - self.consumed
+            C = next(c for c in self.CHUNKS if c <= remaining)
             j = self.consumed
-            # consume as many as possible in one go (chunk of 1 keeps a single
-            # compiled program; prefill path uses a second program)
-            seq_j = jnp.asarray(tokens[None, j : j + 1])
-            masked_j1 = jnp.asarray(masked_tokens[None, j + 1 : j + 2])
-            style_j1 = jnp.asarray(style[None, j + 1 : j + 2]) if style is not None else None
-            ctx_j1 = jnp.asarray(context[None, j + 1 : j + 2]) if context is not None else None
-            self.caches, logits = self._step(
-                self.caches, seq_j, masked_j1, style_j1, ctx_j1, j
+            seq = jnp.asarray(tokens[None, j : j + C])
+            masked = jnp.asarray(masked_tokens[None, j + 1 : j + C + 1])
+            style_c = jnp.asarray(style[None, j + 1 : j + C + 1]) if style is not None else None
+            ctx_c = jnp.asarray(context[None, j + 1 : j + C + 1]) if context is not None else None
+            self.caches, logits = self._consume(
+                self.caches, seq, masked, style_c, ctx_c, j
             )
-            self.consumed += 1
+            self.consumed += C
         return logits
 
     def rollback(self, position: int):

@@ -363,6 +363,9 @@ class ScorePerformerModel(nn.Module):
         )
         return out
 
+    @property
+    def perf_decoder_dim(self) -> int:
+        return self.config.dim
     def init_decoder_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         return self.perf_decoder.init_cache(batch, max_len, dtype)
 
@@ -454,5 +457,8 @@ class PerformerModel(nn.Module):
             deterministic=True,
         )
 
+    @property
+    def perf_decoder_dim(self) -> int:
+        return self.config.transformer.dim
     def init_decoder_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         return self.transformer.init_cache(batch, max_len, dtype)
