@@ -30,14 +30,16 @@ from .messengers import IntermediateData, SPMuple2IntermediateData, SPMupleMesse
 class StreamingDecoder:
     """MixedLM decoder with a persistent static KV cache.
 
-    Tokens are consumed in BUCKETED CHUNKS (64/8/1), each chunk one compiled
-    `lax.scan` call: on a remote/tunneled chip every device call is a full
-    round trip, so consuming a ~256-token window one call per token cost
-    seconds; with buckets it is <=7 calls. At most three programs compile
-    (one per bucket length), reused forever.
+    Tokens are consumed in bucketed chunks, each chunk one compiled
+    `lax.scan` call. Bucket policy is MEASURED, not assumed: on the tunneled
+    v5e-1, 246-token prefill took 0.42 s with per-token calls (jax's async
+    dispatch pipelines the tiny programs) but 2.1 s with 64-token scan calls
+    (~140 ms per remote invocation of the larger program), so the default is
+    per-token; set CHUNKS = (64, 8, 1) for transports where per-call latency
+    dominates instead.
     """
 
-    CHUNKS = (64, 8, 1)
+    CHUNKS = (1,)
 
     def __init__(self, model, variables, max_context_len: int, num_streams: int):
         self.model = model
