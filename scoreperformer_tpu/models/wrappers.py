@@ -398,6 +398,14 @@ def ar_generate(
     decode_step = make_decode_step(model, variables)
     lm_head = make_lm_head(model, variables)
 
+    if max_seq_len is None:
+        # the reference always bounds generation by the model window
+        # (wrappers.py:236); default to the decoder's trained max_seq_len
+        dec_cfg = getattr(model.config, "perf_decoder", None) or getattr(
+            model.config, "transformer", None
+        )
+        max_seq_len = getattr(dec_cfg, "max_seq_len", None)
+
     total = seq_len + 1
     cache_len = total if max_seq_len is None else min(total, int(max_seq_len))
     assert t0 <= cache_len, (
