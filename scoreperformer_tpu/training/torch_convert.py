@@ -274,3 +274,30 @@ def reference_names_for_template(params_template) -> Dict[str, Optional[str]]:
         ".".join(path): (m[0] if (m := _torch_name_for(list(path))) else None)
         for path in _flatten(params_template)
     }
+
+
+def export_reference_state_dict(params) -> Dict[str, np.ndarray]:
+    """Inverse conversion: flax params → a reference-named torch state dict
+    (numpy arrays; wrap with `torch.tensor` to `torch.save` it).
+
+    The exact inverse of `convert_reference_state_dict`: the same name
+    derivation, with 2-D Linear kernels transposed back to torch's
+    (out, in) convention. Name placeholders are concretized the way the
+    reference modules name things (GLU `ff.0.proj`; classifier MLP layer
+    indices). Round-trip (export → convert) is identity-tested.
+    """
+    flat = _flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        mapped = _torch_name_for(list(path))
+        assert mapped is not None, f"no reference name for {'.'.join(path)}"
+        name, transform = mapped
+        name = name.replace("proj|0", "proj")
+        name = name.replace("{last}", "0").replace("{", "").replace("}", "")
+        arr = np.asarray(value)
+        if transform == "t" and arr.ndim == 2:
+            arr = arr.T
+        # shared/tied tables can map to one reference name from several paths;
+        # the values are identical by construction (same underlying param)
+        sd[name] = arr
+    return sd

@@ -127,6 +127,34 @@ class TestTorchConvert:
         _, missing = convert_reference_state_dict({}, params, strict=False)
         assert len(missing) > 0
 
+    def test_export_import_roundtrip_is_identity(self, model_and_params):
+        """flax -> reference state dict -> flax returns the same tree."""
+        from scoreperformer_tpu.training.torch_convert import (
+            export_reference_state_dict,
+        )
+
+        _, _, params, _ = model_and_params
+        sd = export_reference_state_dict(params)
+        back, missing = convert_reference_state_dict(sd, params, strict=True)
+        assert not missing
+
+        def flatten(tree, prefix=()):
+            out = {}
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    out.update(flatten(v, prefix + (k,)))
+            else:
+                out[prefix] = tree
+            return out
+
+        orig, conv = flatten(params), flatten(back)
+        assert set(orig) == set(conv)
+        for path in orig:
+            np.testing.assert_array_equal(
+                np.asarray(orig[path]), np.asarray(conv[path]),
+                err_msg=".".join(path),
+            )
+
 
 # ---------------------------------------------------------------------------
 # Cross-framework NUMERIC parity: a functional torch re-enactment of the
