@@ -157,3 +157,27 @@ def test_batched_topk_threshold_matches_streamwise():
         ref = np.asarray(top_k(jnp.asarray(lg[:, s, :V]), thres=thres))
         ref_keep = np.isfinite(ref)
         np.testing.assert_array_equal(batched_keep[:, s, :V], ref_keep, err_msg=f"stream {s}")
+
+
+def test_write_kv_fallback_semantics():
+    """ops/kv_cache.write_kv: dus fallback (CPU) matches .at[].set rows,
+    including multi-row prefill writes and dtype casting."""
+    import jax
+    import numpy as np
+
+    from scoreperformer_tpu.ops.kv_cache import _kernel_eligible, write_kv
+
+    cache = jnp.zeros((10, 4, 8), jnp.float32)
+    assert not _kernel_eligible(cache)  # CPU backend and/or small dims
+
+    new = jnp.asarray(np.random.randn(1, 4, 8), jnp.float32)
+    out = jax.jit(write_kv)(cache, new, 3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(cache.at[3:4].set(new)))
+
+    new3 = jnp.asarray(np.random.randn(3, 4, 8), jnp.float32)
+    out = jax.jit(write_kv)(cache, new3, 6)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(cache.at[6:9].set(new3)))
+
+    bf = jnp.zeros((10, 4, 8), jnp.bfloat16)
+    out = jax.jit(write_kv)(bf, new, 0)
+    assert out.dtype == jnp.bfloat16
