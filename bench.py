@@ -335,8 +335,10 @@ def _enable_compile_cache():
 
 def main():
     parser = argparse.ArgumentParser()
-    # throughput knee from the batch sweep on v5e-1 (BASELINE.md): 32 -> 107k,
-    # 128 -> 236k, 256 -> 285k, 512 -> 302k, 1024 -> 294k tokens/s
+    # batch sweep on v5e-1 with time-major caches (round 2): 512 -> 309k,
+    # 1024 -> 237k, 2048 -> 218k tokens/s — larger batches regress because
+    # the carried cache buffers (and XLA's defensive copies of them) scale
+    # with batch; 512 is the knee. (Round-1 batch-major sweep in BASELINE.md.)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--seq", type=int, default=256)
     parser.add_argument("--measure-baseline", action="store_true")
