@@ -97,35 +97,38 @@ def render_performance(
     perf = jnp.asarray(inputs["deadpan_ids"][None])
     score = jnp.asarray(inputs["score_ids"][None])
     mask = jnp.asarray(np.ones((1, T), bool))
-    bars, beats, onsets = inputs["bars"], inputs["beats"], inputs["onsets"]
 
-    score_emb, style_emb, _ = model.apply(
-        variables,
-        perf,
-        mask,
-        score,
-        mask,
-        jnp.asarray(np.asarray(bars)[None]),
-        jnp.asarray(np.asarray(beats)[None]),
-        jnp.asarray(np.asarray(onsets)[None]),
-        method="encode_embeddings",
-        rngs={"mmd": jax.random.PRNGKey(0)},
+    # ONE compiled program: encoder pass + decode scan (anything eager is a
+    # remote-compile round trip per op on tunneled TPU platforms; the server
+    # uses the same fused structure — inference/server.py)
+    @jax.jit
+    def _render(perf, score, mask, bars, beats, onsets, tokens_in, masked_all,
+                override_style, rng):
+        score_emb, style_emb, _ = model.apply(
+            variables, perf, mask, score, mask, bars, beats, onsets,
+            method="encode_embeddings", rngs={"mmd": jax.random.PRNGKey(0)},
+        )
+        if override_style is not None:
+            style_emb = override_style
+        return mixedlm_unmask(
+            model, variables, tokens_in, masked_all, rng=rng,
+            style_embeddings=style_emb, context=score_emb,
+            temperature=temperature, filter_fn=top_k,
+            filter_kwargs=filter_kwargs, greedy=greedy,
+        )
+
+    override = (
+        jnp.asarray(np.asarray(style_embeddings)[None])
+        if style_embeddings is not None else None
     )
-    if style_embeddings is not None:
-        style_emb = jnp.asarray(np.asarray(style_embeddings)[None])
-
-    out = mixedlm_unmask(
-        model,
-        variables,
+    out = _render(
+        perf, score, mask,
+        jnp.asarray(np.asarray(inputs["bars"])[None]),
+        jnp.asarray(np.asarray(inputs["beats"])[None]),
+        jnp.asarray(np.asarray(inputs["onsets"])[None]),
         jnp.asarray(inputs["tokens_in"][None]),
         jnp.asarray(inputs["masked_all"][None]),
-        rng=rng,
-        style_embeddings=style_emb,
-        context=score_emb,
-        temperature=temperature,
-        filter_fn=top_k,
-        filter_kwargs=filter_kwargs,
-        greedy=greedy,
+        override, rng,
     )
     out_tokens = np.asarray(out[0])
 
