@@ -127,76 +127,100 @@ class PerformanceDataset:
     def reseed(self, seed: int):
         self._rng = np.random.RandomState(seed)
 
+    def _bar_note_lut(self, perf_idx: int) -> np.ndarray:
+        """Cached bar → first-note-index table of one performance."""
+        lut = self._bar_indices[perf_idx]
+        if lut is None:
+            lut = self._bar_indices[perf_idx] = self.indexer.compute_bar_indices(
+                self.performances[perf_idx]
+            )
+        return lut
+
+    def _plan_window(self, idx, meta, rng, lut):
+        """Bar/note window decisions for one sample.
+
+        Returns (start_bar, end_bar, note span). Same shape as
+        `LocalScorePerformanceDataset._plan_window`: a strided grid position,
+        optionally jittered ±half a window under ``sample_bars``, bar-greedy
+        end selection, and a max_seq_len note clamp; meta replay reuses the
+        recorded bar decisions (window semantics: reference
+        performance.py:183-205).
+        """
+        n_bars = len(lut) - 1
+        half, quarter = self.bar_sliding_window // 2, self.bar_sliding_window // 4
+
+        if meta is not None:
+            start_bar = meta.start_bar
+        else:
+            start_bar = int(self._sample_positions[idx])
+            if self.sample_bars:
+                lo = max(0, start_bar - half)
+                hi = max(lo + 1, min(n_bars - quarter, start_bar + half))
+                start_bar = int(rng.randint(lo, hi))
+
+        if meta is not None and meta.end_bar is not None:
+            end_bar = meta.end_bar
+        else:
+            end_bar = get_end_bar(lut, start_bar, self.max_seq_len, self.max_bar)
+
+        n0, n1 = int(lut[start_bar]), int(lut[end_bar + 1])
+        if n0 == n1 or n1 - n0 > self.max_seq_len:
+            n1 = min(n1, n0 + self.max_seq_len)
+        return start_bar, end_bar, (n0, n1)
+
+    def _choose_bar_offset(self, meta, rng, end_bar, n_bars, bar_lo, bar_hi) -> int:
+        """Re-basing offset for the Bar stream: fit_to_zero_bar pins the
+        window's first bar to 0; fit_to_max_bar proportionally re-maps
+        windows that start past max_bar (performance.py:214-226)."""
+        if meta is not None:
+            return meta.bar_offset
+        if self.fit_to_max_bar and end_bar >= self.max_bar:
+            return int((self.max_bar - 1) * bar_hi / n_bars) - bar_hi
+        if self.fit_to_zero_bar:
+            return -int(bar_lo)
+        return 0
+
+    def _choose_augmentations(self, meta, rng):
+        if meta is not None:
+            return meta.augmentations
+        if self.augment_performance and prob2bool(rng, self.augment_performance):
+            return self.processor.sample_augmentations(rng)
+        return None
+
     def get(self, idx=None, meta=None, rng=None) -> PerformanceSample:
         assert idx is not None or meta is not None
         rng = rng if rng is not None else self._rng
 
-        if meta is None:
-            perf_idx = int(np.where(idx >= self._sample_ids)[0][-1])
-        else:
+        if meta is not None:
             idx, perf_idx = meta.idx, meta.perf_idx
+        else:
+            perf_idx = int(np.searchsorted(self._sample_ids, idx, side="right")) - 1
 
-        indices = self._bar_indices[perf_idx]
-        if indices is None:
-            indices = self._bar_indices[perf_idx] = self.indexer.compute_bar_indices(
-                self.performances[perf_idx]
-            )
-        total_bars = indices.shape[0] - 1
+        lut = self._bar_note_lut(perf_idx)
         total_notes = self.performances[perf_idx].shape[0]
 
-        if meta is None:
-            start_bar = int(self._sample_positions[idx])
-            if self.sample_bars:
-                low = max(0, start_bar - self.bar_sliding_window // 2)
-                high = max(
-                    low + 1,
-                    min(total_bars - self.bar_sliding_window // 4, start_bar + self.bar_sliding_window // 2),
-                )
-                start_bar = int(rng.randint(low, high))
-        else:
-            start_bar = meta.start_bar
+        start_bar, end_bar, (n0, n1) = self._plan_window(idx, meta, rng, lut)
+        seq = self.performances[perf_idx][n0:n1].copy()
 
-        if meta is None or meta.end_bar is None:
-            end_bar = get_end_bar(indices, start_bar, self.max_seq_len, self.max_bar)
-        else:
-            end_bar = meta.end_bar
-
-        start, end = int(indices[start_bar]), int(indices[end_bar + 1])
-        if start == end or end - start > self.max_seq_len:
-            end = min(end, start + self.max_seq_len)
-
-        seq = self.performances[perf_idx][start:end].copy()
         z = self.tokenizer.zero_token
-        min_bar = seq[:, 0].min() - z
-        max_bar_seen = seq[:, 0].max() - z
-
-        bar_offset = 0
-        if meta is None:
-            if self.fit_to_max_bar and end_bar >= self.max_bar:
-                bar_offset = int((self.max_bar - 1) * max_bar_seen / total_bars) - max_bar_seen
-            elif self.fit_to_zero_bar:
-                bar_offset = -int(min_bar)
-        else:
-            bar_offset = meta.bar_offset
+        bar_offset = self._choose_bar_offset(
+            meta, rng, end_bar,
+            n_bars=len(lut) - 1,
+            bar_lo=seq[:, 0].min() - z,
+            bar_hi=seq[:, 0].max() - z,
+        )
         if bar_offset != 0:
             seq[:, 0] += bar_offset
 
-        if meta is None:
-            augmentations = (
-                self.processor.sample_augmentations(rng)
-                if self.augment_performance and prob2bool(rng, self.augment_performance)
-                else None
-            )
-        else:
-            augmentations = meta.augmentations
+        augmentations = self._choose_augmentations(meta, rng)
         if augmentations is not None:
             seq = self.processor.augment_sequence(seq, augmentations)
             seq = seq[self.processor.compute_valid_pitch_mask(seq)]
 
         if self.add_sos_eos:
-            if start == 0:
+            if n0 == 0:
                 seq = self.processor.add_sos_token(seq)
-            if end == total_notes:
+            if n1 == total_notes:
                 seq = self.processor.add_eos_token(seq)
 
         meta = PerformanceSampleMeta(

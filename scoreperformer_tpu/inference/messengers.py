@@ -1,12 +1,27 @@
-"""Token → timed-MIDI-message messengers.
+"""Token → timed-MIDI-message messengers for streaming playback.
 
-Counterpart of scoreperformer/inference/messengers.py: converts (partial)
-token sequences to wall-clock note events without building a MIDI file,
-carrying running (tempo, tick, time) intermediates across streaming calls.
+Role counterpart of scoreperformer/inference/messengers.py: turn (partial)
+performance-token sequences into wall-clock note events without building a
+MIDI file, carrying running tempo state across streaming calls.
+
+The decode math lives in the tokenizers and is only orchestrated here:
+
+- v1 (`SPMupleMessenger`): per-note ticks come from
+  `SPMuple.decode_note_ticks` and tempo-change anchors from
+  `SPMuple.tempo_change_table` (both shared with
+  `SPMuple.performance_tokens_to_midi`); this module adds the streaming
+  concerns — continuing the running (tempo, tick, time) table across chunk
+  boundaries, tick→seconds interpolation, and message assembly.
+- v2 (`SPMuple2Messenger`): the onset-pair tempo recursion is
+  `SPMuple2.decode_onset_times` (shared with
+  `SPMuple2.performance_tokens_to_midi`), called with carried state; a chunk
+  boundary that splits an onset is folded by the core's merge path.
+
+Message rows are (time_or_tick, midi_event, pitch, velocity) with velocity 0
+marking note-offs, matching the reference's wire format.
 """
 from __future__ import annotations
 
-import copy
 from dataclasses import dataclass
 from typing import Optional
 
@@ -20,15 +35,124 @@ NOTE_ON_MIDI_EVENT = 144
 
 @dataclass
 class IntermediateData:
-    tempos: Optional[np.ndarray] = None  # rows of (tempo, tick, time)
+    """Carried state between streaming calls: rows of (tempo, tick, time)."""
+
+    tempos: Optional[np.ndarray] = None
+
+
+@dataclass
+class SPMuple2IntermediateData(IntermediateData):
+    """v2 carry: tempo rows plus the (tick, time, note count) onset-pair
+    chain driving the tempo recursion."""
+
+    initial_tempo: float = DEFAULT_TEMPO
+    onset_pairs: Optional[np.ndarray] = None
+
+
+def _assemble_messages(
+    on_times: np.ndarray,
+    off_times: np.ndarray,
+    pitches: Optional[np.ndarray],
+    velocities: Optional[np.ndarray],
+    note_on_events: bool,
+    note_off_events: bool,
+) -> np.ndarray:
+    """Stack note-on/off events into message rows; with no attributes the
+    result is a bare time/tick vector."""
+    assert note_on_events or note_off_events
+    parts = []
+    if pitches is None:
+        if note_on_events:
+            parts.append(on_times)
+        if note_off_events:
+            parts.append(off_times)
+    else:
+        event = np.full(len(pitches), NOTE_ON_MIDI_EVENT, dtype=float)
+        if note_on_events:
+            parts.append(np.stack([on_times, event, pitches, velocities], axis=-1))
+        if note_off_events:
+            parts.append(
+                np.stack([off_times, event, pitches, np.zeros(len(pitches))], axis=-1)
+            )
+    return np.concatenate(parts, axis=0)
 
 
 class SPMupleMessenger:
-    """(messengers.py:20-186)"""
+    """Streaming messenger for SPMuple (v1) encodings.
+
+    Timing model (reference messengers.py:20-186): tempo is piecewise constant
+    between change anchors; message times interpolate linearly inside each
+    segment. Streaming continues the running segment table from
+    ``intermediates``.
+    """
 
     def __init__(self, tokenizer: SPMuple):
         self.tokenizer = tokenizer
         self.beat_resolution = max(tokenizer.config.beat_res.values())
+
+    # -- note timing -----------------------------------------------------
+
+    def _note_ticks(self, tokens: np.ndarray, ticks_data: dict):
+        """Fractional performed on/off ticks (falls back to raw score timing
+        for tokenizers without performance streams)."""
+        if isinstance(self.tokenizer, SPMuple):
+            return self.tokenizer.decode_note_ticks(
+                tokens, ticks_data, ticks_per_sample=1, quantize=False
+            )
+        on = ticks_data["note_on"].astype(float)
+        return on, on + self.tokenizer.decode_token_type(tokens, "Duration")
+
+    # -- tempo segment table ---------------------------------------------
+
+    def _continue_tempo_rows(
+        self,
+        carried: Optional[np.ndarray],
+        tempos: np.ndarray,
+        anchors: np.ndarray,
+        grid: np.ndarray,
+        first_note_tick: float,
+    ) -> np.ndarray:
+        """Extend the running (tempo, tick, time) table with this chunk's
+        tempo changes.
+
+        The chunk's first segment starts exactly where the carried table left
+        off. If the carried tempo differs from the chunk's first tempo, the
+        carried tempo is held until the chunk's first note (snapped to the
+        grid) and the new tempo takes over there (messengers.py:84-110).
+        Row times follow from cumulative per-segment durations. The first
+        returned row is the continuation point itself.
+        """
+        if carried is None:
+            start_tick, start_time = 0.0, 0.0
+        else:
+            start_tick, start_time = carried[-1, 1], carried[-1, 2]
+            if carried[-1, 0] != tempos[0]:
+                handover = self.tokenizer._snap_to_grid(
+                    np.asarray([first_note_tick]), grid
+                )[0]
+                tempos = np.r_[carried[-1, 0], tempos]
+                anchors = np.r_[anchors[0], handover, anchors[1:]]
+
+        anchors = anchors.astype(float)
+        anchors[0] = start_tick
+        segment_secs = np.diff(anchors) / self.beat_resolution * 60.0 / tempos[:-1]
+        times = start_time + np.r_[0.0, np.cumsum(segment_secs)]
+        return np.stack([tempos, anchors, times], axis=1)
+
+    @staticmethod
+    def _merge_tempo_rows(
+        carried: Optional[np.ndarray], fresh: np.ndarray
+    ) -> np.ndarray:
+        """Append this chunk's rows to the carry, dropping redundant rows:
+        of several rows on one tick the last wins, and runs of equal tempo
+        keep only their first row (messengers.py:133-142)."""
+        rows = fresh if carried is None else np.concatenate([carried, fresh[1:]])
+        last_on_tick = np.r_[np.diff(rows[:, 1]) != 0, True]
+        rows = rows[last_on_tick]
+        tempo_changed = np.r_[True, np.diff(rows[:, 0]) != 0]
+        return rows[tempo_changed]
+
+    # -- public API ------------------------------------------------------
 
     def tokens_to_messages(
         self,
@@ -42,156 +166,81 @@ class SPMupleMessenger:
         sort: bool = True,
     ):
         tok = self.tokenizer
-        ap = tok.config.additional_params
-        ticks_data = tok.compute_ticks(tokens, self.beat_resolution, compute_beat_ticks=True)
+        ticks_data = tok.compute_ticks(
+            tokens, self.beat_resolution, compute_beat_ticks=True
+        )
+        on_ticks, off_ticks = self._note_ticks(tokens, ticks_data)
 
-        perf_durations = durations = tok.decode_token_type(tokens, "Duration")
-        note_on_ticks = ticks_data["note_on"].astype(float)
+        tempos, anchors = tok.tempo_change_table(tokens, on_ticks, ticks_data)
+        rows = self._continue_tempo_rows(
+            carried=None if intermediates is None else intermediates.tempos,
+            tempos=tempos,
+            anchors=anchors,
+            grid=tok._tempo_grid(ticks_data),
+            first_note_tick=on_ticks[0],
+        )
 
-        if isinstance(tok, SPMuple):
-            if ap["use_position_shifts"]:
-                pos_shifts = tok.decode_token_type(tokens, "PositionShift").astype(float)
-            else:
-                pos_shifts = tok.compute_position_shifts(note_on_ticks)
-
-            if ap["rel_onset_dev"]:
-                rel_onset_devs = tok.decode_token_type(tokens, "RelOnsetDev")
-                pos_shifts[pos_shifts == 0] = 1
-                onset_devs = rel_onset_devs * pos_shifts
-            else:
-                onset_devs = tok.decode_token_type(tokens, "OnsetDev")
-
-            note_on_ticks = np.maximum(0, note_on_ticks + onset_devs)
-
-            if ap["rel_perf_duration"]:
-                rel_perf_durations = tok.decode_token_type(tokens, "RelPerfDuration")
-                perf_durations = rel_perf_durations * durations
-            else:
-                perf_durations = tok.decode_token_type(tokens, "PerfDuration")
-
-        note_off_ticks = note_on_ticks + perf_durations
-
-        assert note_on_events or note_off_events
+        pitches = velocities = None
         if note_attributes:
             pitches = tok.decode_token_type(tokens, "Pitch")
             velocities = tok.decode_token_type(tokens, "Velocity")
-
-        # tempo segments with running intermediates (messengers.py:80-118)
-        tempo_indices = np.concatenate(
-            [[0], np.where(np.diff(tokens[:, tok.types_idx["Tempo"]]))[0] + 1]
+        messages = _assemble_messages(
+            on_ticks, off_ticks, pitches, velocities, note_on_events, note_off_events
         )
-        tempos = tok.decode_token_type(tokens[tempo_indices], "Tempo")
-
-        prev_tempos = intermediates.tempos if intermediates is not None else None
-        start_tempo_change = prev_tempos is not None and prev_tempos[-1, 0] != tempos[0]
-        if start_tempo_change:
-            tempos = np.concatenate([[prev_tempos[-1, 0]], tempos])
-
-        prev_tempo_tick = 0 if prev_tempos is None else prev_tempos[-1, 1]
-        prev_tempo_time = 0.0 if prev_tempos is None else prev_tempos[-1, 2]
-
-        beat_ticks = ticks_data["bar"] if ap["bar_tempos"] else ticks_data["beat"]
-        tempo_ticks = note_on_ticks[tempo_indices]
-        tempo_ticks = beat_ticks[
-            np.minimum(np.searchsorted(beat_ticks, tempo_ticks), beat_ticks.shape[0] - 1)
-        ]
-        tempo_ticks[0] = prev_tempo_tick
-
-        if start_tempo_change:
-            tempo_ticks = np.concatenate(
-                [
-                    [tempo_ticks[0]],
-                    [
-                        beat_ticks[
-                            np.minimum(
-                                np.searchsorted(beat_ticks, note_on_ticks[0]),
-                                beat_ticks.shape[0] - 1,
-                            )
-                        ]
-                    ],
-                    tempo_ticks[1:],
-                ]
-            )
-
-        tempo_times = np.cumsum(
-            np.concatenate(
-                [[prev_tempo_time], np.diff(tempo_ticks) / self.beat_resolution * 60 / tempos[:-1]]
-            )
-        )
-        new_tempos = np.stack([tempos, tempo_ticks, tempo_times], axis=-1)
-
-        messages = []
-        if note_attributes:
-            midi_msgs = np.full_like(pitches, NOTE_ON_MIDI_EVENT, dtype=float)
-            if note_on_events:
-                messages.append(np.stack([note_on_ticks, midi_msgs, pitches, velocities], -1))
-            if note_off_events:
-                messages.append(
-                    np.stack([note_off_ticks, midi_msgs, pitches, np.zeros(len(velocities))], -1)
-                )
-        else:
-            if note_on_events:
-                messages.append(note_on_ticks)
-            if note_off_events:
-                messages.append(note_off_ticks)
-        messages = np.concatenate(messages, axis=0)
 
         if to_times:
-            messages = self.messages_to_times(messages, new_tempos, sort=sort)
+            messages = self.messages_to_times(messages, rows, sort=sort)
         elif sort:
             messages = self.sort_messages(messages)
 
         if return_intermediates:
-            if prev_tempos is None:
-                prev_tempos = new_tempos
-            else:
-                prev_tempos = np.concatenate([prev_tempos, new_tempos[1:]], axis=0)
-            # dedup by tick then by tempo (messengers.py:137-142)
-            ticks = np.concatenate([prev_tempos[:, 1], [-1]])
-            prev_tempos = prev_tempos[(ticks[1:] - ticks[:-1]) != 0]
-            tvals = np.concatenate([[-1], prev_tempos[:, 0]])
-            prev_tempos = prev_tempos[(tvals[1:] - tvals[:-1]) != 0]
-            return messages, IntermediateData(tempos=prev_tempos)
+            carried = None if intermediates is None else intermediates.tempos
+            return messages, IntermediateData(
+                tempos=self._merge_tempo_rows(carried, rows)
+            )
         return messages
 
-    def messages_to_times(self, messages, tempos, sort=True, inplace=True):
-        """Linear interpolation within tempo segments (messengers.py:149-173)."""
-        tvals, tticks, ttimes = tempos[:, 0], tempos[:, 1], tempos[:, 2]
-        msg_ticks = messages[:, 0] if messages.ndim == 2 else messages
-        ids = np.searchsorted(tticks, msg_ticks, side="right") - 1
-        msg_times = ttimes[ids] + (msg_ticks - tticks[ids]) / self.beat_resolution * 60 / tvals[ids]
+    def messages_to_times(
+        self, messages: np.ndarray, tempo_rows: np.ndarray, sort: bool = True, inplace: bool = True
+    ) -> np.ndarray:
+        """Tick → seconds via the segment table: each message finds its
+        segment and advances linearly from the segment start
+        (messengers.py:149-173)."""
+        ticks = messages[:, 0] if messages.ndim == 2 else messages
+        seg = np.searchsorted(tempo_rows[:, 1], ticks, side="right") - 1
+        seconds = tempo_rows[seg, 2] + (
+            (ticks - tempo_rows[seg, 1]) / self.beat_resolution * 60.0 / tempo_rows[seg, 0]
+        )
 
-        messages = messages if inplace else copy.copy(messages)
+        if not inplace:
+            messages = messages.copy()
         if messages.ndim == 2:
-            messages[:, 0] = msg_times
+            messages[:, 0] = seconds
         else:
-            messages[:] = msg_times
-        if sort:
-            messages = self.sort_messages(messages)
-        return messages
+            messages[:] = seconds
+        return self.sort_messages(messages) if sort else messages
 
     @staticmethod
-    def sort_messages(messages):
+    def sort_messages(messages: np.ndarray) -> np.ndarray:
+        """Order by time, then pitch, then note-ons before note-offs."""
         if messages.ndim == 2:
             return messages[np.lexsort((-messages[:, 3], messages[:, 2], messages[:, 0]))]
         return np.sort(messages)
 
     @staticmethod
-    def filter_messages(messages, start: float = 0.0):
-        if messages.ndim == 2:
-            return messages[messages[:, 0] >= start]
-        return messages[messages >= start]
-
-
-@dataclass
-class SPMuple2IntermediateData(IntermediateData):
-    initial_tempo: float = DEFAULT_TEMPO
-    onset_pairs: Optional[np.ndarray] = None  # rows of (tick, time, num_notes)
+    def filter_messages(messages: np.ndarray, start: float = 0.0) -> np.ndarray:
+        keep = (messages[:, 0] if messages.ndim == 2 else messages) >= start
+        return messages[keep]
 
 
 class SPMuple2Messenger(SPMupleMessenger):
-    """Incremental onset-pair tempo recursion matching SPMuple2 decode
-    (messengers.py:200-363), incl. repeated-onset merging across calls."""
+    """Streaming messenger for SPMuple2 (v2) encodings.
+
+    Note times come straight from the shared onset-pair tempo recursion
+    (`SPMuple2.decode_onset_times`), with the pair chain and tempo rows
+    carried across calls; repeated onsets at chunk boundaries are merged by
+    the core. Only seconds-domain messages exist for v2.
+    """
 
     def tokens_to_messages(
         self,
@@ -206,128 +255,36 @@ class SPMuple2Messenger(SPMupleMessenger):
     ):
         assert to_times, "tick messages are not supported with SPMuple2 encoding"
         tok: SPMuple2 = self.tokenizer
-        ap = tok.config.additional_params
-        tempo_scale = 60.0 / self.beat_resolution
-
-        ticks_data = tok.compute_ticks(tokens, self.beat_resolution, compute_beat_ticks=True)
-        durations = tok.decode_token_type(tokens, "Duration")
-        note_on_ticks = ticks_data["note_on"].astype(float)
-
         if intermediates is None:
             intermediates = SPMuple2IntermediateData()
 
-        token_tempos = tok.decode_token_type(tokens, "Tempo")
+        ticks_data = tok.compute_ticks(
+            tokens, self.beat_resolution, compute_beat_ticks=True
+        )
+        on_times, off_times, pairs, tempo_rows = tok.decode_onset_times(
+            tokens,
+            ticks_data["note_on"].astype(float),
+            self.tokenizer.decode_token_type(tokens, "Duration"),
+            tempo_scale=60.0 / self.beat_resolution,
+            initial_tempo=intermediates.initial_tempo,
+            pairs=intermediates.onset_pairs,
+            tempo_rows=intermediates.tempos,
+        )
 
-        tempos = intermediates.tempos
-        if tempos is None:
-            tempos = np.array([[intermediates.initial_tempo, 0, 0.0]])
-        tempo = tempos[-1, 0]
-
-        is_performed = tokens[:, tok.types_idx["Velocity"]] != tok.zero_token
-        score_onsets = np.unique(note_on_ticks[is_performed])
-
-        note_rel_onset_devs = tok.decode_token_type(tokens, "RelOnsetDev")
-        note_rel_perf_durations = tok.decode_token_type(tokens, "RelPerfDuration")
-
-        onset_pairs = intermediates.onset_pairs
-        if onset_pairs is None:
-            if note_on_ticks[0] > 0:
-                onset_pairs = np.array([(0, 0, 1)], dtype=float)
-            else:
-                onset_pairs = np.array([(-1, -1 / tempo * tempo_scale, 1)])
-        prev_onset_tick, prev_onset_time, prev_num = onset_pairs[-1]
-
-        num_tokens = len(note_on_ticks)
-        perf_times = np.zeros(num_tokens)
-        perf_offset_times = np.zeros(num_tokens)
-
-        recompute = ap["decode_recompute_tempos"] and not ap["onset_tempos"]
-
-        for onset_tick in score_onsets:
-            repeated_onset = onset_tick == tempos[-1, 1] and onset_tick > 0
-            if repeated_onset:
-                prev_onset_tick, prev_onset_time, prev_num = onset_pairs[-2]
-                tempo = tempos[-2, 0]
-
-            onset_mask = note_on_ticks == onset_tick
-            num = int(onset_mask.sum())
-
-            if not recompute:
-                if repeated_onset:
-                    tempo = (tempo * prev_num + token_tempos[onset_mask].sum()) / (prev_num + num)
-                else:
-                    tempo = token_tempos[onset_mask].mean()
-
-            score_shift = onset_tick - prev_onset_tick
-            time_shift = score_shift / tempo * tempo_scale
-            onset_time = prev_onset_time + time_shift
-
-            onset_devs = note_rel_onset_devs[onset_mask] * time_shift
-            onset_perf_times = onset_time + onset_devs
-
-            if repeated_onset:
-                onset_time = (
-                    onset_pairs[-1, 1] * prev_num + onset_perf_times[is_performed[onset_mask]].sum()
-                ) / (prev_num + num)
-            else:
-                onset_time = onset_perf_times[is_performed[onset_mask]].mean()
-
-            if repeated_onset:
-                onset_pairs[-1] = np.array([onset_tick, onset_time, prev_num + num])
-            else:
-                onset_pairs = np.concatenate([onset_pairs, [(onset_tick, onset_time, num)]])
-            onset_pair = onset_pairs[-1]
-
-            onset_score_time_durations = durations[onset_mask] / tempo * tempo_scale
-            onset_perf_time_durations = note_rel_perf_durations[onset_mask] * onset_score_time_durations
-
-            perf_times[onset_mask] = onset_perf_times
-            perf_offset_times[onset_mask] = onset_perf_times + onset_perf_time_durations
-
-            if recompute:
-                if onset_time < 2 * ap["tempo_min_onset_dist"]:
-                    tempo = intermediates.initial_tempo
-                else:
-                    pairs_in_window = tok.filter_onsets_in_window(
-                        onset_pair[:2], onset_pairs[:-1, :2], index=len(onset_pairs) - 1
-                    )
-                    tempo = tok.compute_local_tempo(
-                        onset_pair[:2] - pairs_in_window, tempo_scale
-                    )
-
-            if repeated_onset:
-                tempos[-1] = np.array([tempo, onset_tick, onset_time])
-                prev_onset_tick, prev_onset_time, prev_num = onset_pairs[-1]
-            else:
-                tempos = np.concatenate([tempos, np.array([[tempo, onset_tick, onset_time]])])
-                prev_onset_tick, prev_onset_time, prev_num = onset_tick, onset_time, num
-
-        assert note_on_events or note_off_events
-        messages = []
+        pitches = velocities = None
         if note_attributes:
             pitches = tok.decode_token_type(tokens, "Pitch")
             velocities = tok.decode_token_type(tokens, "Velocity")
-            midi_msgs = np.full_like(pitches, NOTE_ON_MIDI_EVENT, dtype=float)
-            if note_on_events:
-                messages.append(np.stack([perf_times, midi_msgs, pitches, velocities], -1))
-            if note_off_events:
-                messages.append(
-                    np.stack([perf_offset_times, midi_msgs, pitches, np.zeros(len(velocities))], -1)
-                )
-        else:
-            if note_on_events:
-                messages.append(perf_times)
-            if note_off_events:
-                messages.append(perf_offset_times)
-        messages = np.concatenate(messages, axis=0)
-
+        messages = _assemble_messages(
+            on_times, off_times, pitches, velocities, note_on_events, note_off_events
+        )
         if sort:
             messages = self.sort_messages(messages)
 
         if return_intermediates:
             return messages, SPMuple2IntermediateData(
-                tempos=tempos,
+                tempos=tempo_rows,
                 initial_tempo=intermediates.initial_tempo,
-                onset_pairs=onset_pairs,
+                onset_pairs=pairs,
             )
         return messages

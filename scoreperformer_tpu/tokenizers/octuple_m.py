@@ -317,58 +317,79 @@ class OctupleM:
             return np.array(self.vocab.time_signatures)[idx]
         return idx
 
+    @staticmethod
+    def _cumulative_grid(
+        seg_start_bars: np.ndarray, seg_step: np.ndarray, n_units: int
+    ) -> np.ndarray:
+        """Tick grid of `n_units` equal-step units under piecewise-constant
+        step sizes: unit u takes the step of the last segment starting at or
+        before it; grid[k] = sum of the first k steps (with grid[0] = 0).
+
+        One helper serves both the bar grid (step = ticks per bar) and the
+        beat grid (step = ticks per beat) — the semantics of reference
+        octuple_m.py:493-494 and :515-516, which spell this out twice.
+        """
+        seg_ids = np.maximum(
+            0, np.searchsorted(seg_start_bars, np.arange(n_units), side="right") - 1
+        )
+        return np.concatenate([[0], np.cumsum(seg_step[seg_ids])])
+
+    @staticmethod
+    def _beats_per_bar(numerators: np.ndarray) -> np.ndarray:
+        """Felt beats per bar: compound meters (6/9/12/18/24) group by 3
+        (octuple_m.py:508-511)."""
+        beats = numerators.copy()
+        beats[beats == 6] = 2
+        beats[np.isin(beats, (9, 18))] = 3
+        beats[np.isin(beats, (12, 24))] = 4
+        return beats
+
     def compute_ticks(
         self,
         tokens: np.ndarray,
         time_division: int = TIME_DIVISION,
         compute_beat_ticks: bool = False,
     ) -> Dict[str, object]:
-        """Note-on / time-sig / bar / beat tick positions from tokens
-        (direct vectorized counterpart of octuple_m.py:460-520)."""
+        """Note-on / time-sig / bar / beat tick positions from tokens.
+
+        Tick semantics of reference octuple_m.py:460-520 (valid for full-length
+        or single-time-signature sequences): time-signature change rows define
+        segments of constant bar/beat length, and the bar and beat grids are
+        cumulative sums over those piecewise-constant steps
+        (`_cumulative_grid`).
+        """
         tokens = np.asarray(tokens)
-        ticks_per_sample = time_division / self.max_beat_res
         bars = self.decode_token_type(tokens, "Bar")
         positions = self.decode_token_type(tokens, "Position")
 
-        ts_col = tokens[:, self.types_idx["TimeSig"]]
-        time_sig_indices = np.concatenate([[0], np.where(np.diff(ts_col))[0] + 1])
-        time_sigs = self.decode_token_type(tokens[time_sig_indices], "TimeSig")
+        # time-signature segments: change rows in the TimeSig stream
+        changes = np.flatnonzero(
+            np.r_[True, np.diff(tokens[:, self.types_idx["TimeSig"]]) != 0]
+        )
+        time_sigs = self.decode_token_type(tokens[changes], "TimeSig")
+        seg_bars = bars[changes]
 
         ticks_per_bar = time_division * 4 * time_sigs[:, 0] / time_sigs[:, 1]
-        time_sig_bars = bars[time_sig_indices]
-        time_sig_ticks = np.concatenate(
-            [[0], np.cumsum(ticks_per_bar[:-1] * np.diff(time_sig_bars))]
+        seg_ticks = np.concatenate(
+            [[0], np.cumsum(ticks_per_bar[:-1] * np.diff(seg_bars))]
         )
 
-        bar_time_sig_ids = np.maximum(
-            0, np.searchsorted(time_sig_bars, np.arange(bars[-1] + 1), side="right") - 1
-        )
-        bar_ticks = np.concatenate([[0], np.cumsum(ticks_per_bar[bar_time_sig_ids])])
-
-        note_on_ticks = bar_ticks[bars] + positions * ticks_per_sample
+        bar_ticks = self._cumulative_grid(seg_bars, ticks_per_bar, bars[-1] + 1)
+        note_on_ticks = bar_ticks[bars] + positions * (time_division / self.max_beat_res)
 
         ticks_data = {
             "note_on": note_on_ticks,
-            "time_sig": (time_sigs, time_sig_ticks),
+            "time_sig": (time_sigs, seg_ticks),
             "bar": bar_ticks,
         }
 
         if compute_beat_ticks:
-            num_beats_in_bar = time_sigs[:, 0].copy()
-            num_beats_in_bar[num_beats_in_bar == 6] = 2
-            num_beats_in_bar[np.isin(num_beats_in_bar, (9, 18))] = 3
-            num_beats_in_bar[np.isin(num_beats_in_bar, (12, 24))] = 4
-            ticks_per_beat = ticks_per_bar // num_beats_in_bar
-
-            max_beat = np.sum(
-                np.diff(np.concatenate([time_sig_bars, [bars[-1] + 1]])) * num_beats_in_bar
+            beats_in_bar = self._beats_per_bar(time_sigs[:, 0])
+            n_beats = np.sum(
+                np.diff(np.concatenate([seg_bars, [bars[-1] + 1]])) * beats_in_bar
             )
-            beat_time_sig_ids = np.maximum(
-                0,
-                np.searchsorted(time_sig_bars, np.arange(max_beat + 1), side="right") - 1,
-            )
-            ticks_data["beat"] = np.concatenate(
-                [[0], np.cumsum(ticks_per_beat[beat_time_sig_ids])]
+            ticks_data["beat"] = self._cumulative_grid(
+                seg_bars, ticks_per_bar // beats_in_bar, n_beats + 1
             )
 
         return ticks_data

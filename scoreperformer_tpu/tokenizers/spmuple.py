@@ -240,69 +240,58 @@ class SPMuple(OctupleM):
         (spmuple2.py:150-151)."""
         return False
 
-    def _performance_midi_to_tokens(
-        self,
-        midi: MidiScore,
-        score_tokens: TokSequence,
-        alignment: Optional[np.ndarray] = None,
-    ) -> TokSequence:
-        """(spmuple.py:148-294)"""
-        ap = self.config.additional_params
-        time_division = midi.ticks_per_beat
-        ticks_per_sample = time_division / self.max_beat_res
+    # -- encode helpers --------------------------------------------------
 
-        tokens, perf_positions, perf_durations = self._performance_base_rows(midi)
-        score_ids = np.asarray(score_tokens.ids)
+    def _snap_to_grid(self, ticks: np.ndarray, grid: np.ndarray) -> np.ndarray:
+        """Right-snap each tick onto a beat/bar grid (clamped to the last
+        grid line)."""
+        return grid[np.minimum(np.searchsorted(grid, ticks), len(grid) - 1)]
 
-        ticks_data = self.compute_ticks(score_ids, time_division, compute_beat_ticks=True)
-        note_on_ticks = ticks_data["note_on"]
-        beat_ticks = ticks_data["bar"] if ap["bar_tempos"] else ticks_data["beat"]
+    def _tempo_grid(self, ticks_data: dict) -> np.ndarray:
+        """Grid that tempo anchors snap to: bars under ``bar_tempos``,
+        beats otherwise."""
+        key = "bar" if self.config.additional_params["bar_tempos"] else "beat"
+        return ticks_data[key]
 
-        note_beats = beat_ticks[
-            np.minimum(np.searchsorted(beat_ticks, note_on_ticks), beat_ticks.shape[0] - 1)
-        ]
+    def _elect_beat_tempos(
+        self, note_beats: np.ndarray, tempo_ids: np.ndarray
+    ) -> np.ndarray:
+        """Majority vote of one tempo token per beat.
 
-        if alignment is not None:
-            note_beats = note_beats[np.argsort(alignment)]
-
-        # majority election of one tempo per beat (spmuple.py:223-235)
-        note_beat_tempo = np.stack(
-            [note_beats, tokens[:, self.types_idx["Tempo"]].astype(float)], axis=1
+        Semantics of reference spmuple.py:223-239 (ties resolve to the lowest
+        tempo id) expressed as a single vectorized pass: unique
+        (beat, tempo) vote pairs ordered by (beat asc, count desc, tempo asc),
+        keeping each beat's leading row. Returns int rows (beat_tick, tempo_id)
+        sorted by beat tick.
+        """
+        votes, counts = np.unique(
+            np.stack([note_beats, tempo_ids.astype(float)], axis=1),
+            axis=0,
+            return_counts=True,
         )
-        un_beat_tempos, counts = np.unique(note_beat_tempo, return_counts=True, axis=0)
-        beat_tempo_data = np.concatenate([un_beat_tempos, counts[:, None]], axis=1)
+        ranked = votes[np.lexsort((votes[:, 1], -counts, votes[:, 0]))]
+        leads = np.r_[True, np.diff(ranked[:, 0]) != 0]
+        return ranked[leads].astype(int)
 
-        beat_tempos = []
-        while len(beat_tempo_data) > 0:
-            group = beat_tempo_data[beat_tempo_data[:, 0] == beat_tempo_data[0, 0]]
-            beat_tempos.append(group[group[:, 2].argmax(), :2])
-            beat_tempo_data = beat_tempo_data[len(group):]
-        beat_tempos = np.stack(beat_tempos).astype(int)
-
-        if alignment is not None:
-            tokens = tokens[alignment]
-            perf_positions = perf_positions[alignment]
-            perf_durations = perf_durations[alignment]
-
-        tokens[:, self.types_idx["Tempo"]] = beat_tempos[
-            np.searchsorted(beat_tempos[:, 0], note_beats)
-        ][:, 1]
-
-        # copy score streams (spmuple.py:246-254)
-        token_types = ["Bar", "Position", "Duration", "TimeSig"]
+    def _copy_score_streams(self, tokens: np.ndarray, score_ids: np.ndarray) -> None:
+        """Overwrite score-owned streams with the aligned score's ids in place
+        (spmuple.py:246-254 / spmuple2.py:165-173)."""
+        ap = self.config.additional_params
+        streams = ["Bar", "Position", "Duration", "TimeSig"]
         if ap["use_position_shifts"]:
-            token_types.append("PositionShift")
+            streams.append("PositionShift")
         if ap["use_onset_indices"]:
-            token_types.extend(["NotesInOnset", "PositionInOnset"])
-        for token_type in token_types:
-            idx = self.types_idx[token_type]
-            tokens[:, idx] = score_ids[:, idx]
+            streams += ["NotesInOnset", "PositionInOnset"]
+        for stream in streams:
+            col = self.types_idx[stream]
+            tokens[:, col] = score_ids[:, col]
 
-        score_positions = note_on_ticks / ticks_per_sample
-        score_durations = self.decode_token_type(score_ids, "Duration")
-
-        onset_devs = perf_positions - score_positions
-
+    def _onset_dev_stream(
+        self, tokens: np.ndarray, onset_devs: np.ndarray, score_positions: np.ndarray
+    ) -> np.ndarray:
+        """Quantize onset deviations: relative to inter-onset shifts under
+        ``rel_onset_dev`` (spmuple.py:256-270), absolute-clipped otherwise."""
+        ap = self.config.additional_params
         if ap["rel_onset_dev"]:
             if ap["use_position_shifts"] and ap["onset_position_shifts"]:
                 pos_shifts = self.position_shifts[
@@ -311,29 +300,76 @@ class SPMuple(OctupleM):
             else:
                 pos_shifts = self.compute_position_shifts(score_positions, onset_shift=True)
             pos_shifts[pos_shifts == 0] = 1
-            rel_onset_devs = onset_devs / pos_shifts
-            onset_dev_tokens = find_closest(self.rel_onset_deviations, rel_onset_devs)
-        else:
-            max_onset_dev = self.max_beat_res * 2
-            onset_devs = np.minimum(np.maximum(onset_devs, -max_onset_dev), max_onset_dev)
-            onset_dev_tokens = onset_devs + max_onset_dev
+            return find_closest(self.rel_onset_deviations, onset_devs / pos_shifts)
+        limit = self.max_beat_res * 2
+        return np.clip(onset_devs, -limit, limit) + limit
 
-        if ap["rel_perf_duration"]:
-            rel_perf_durations = perf_durations / score_durations
-            perf_duration_tokens = find_closest(self.rel_performed_durations, rel_perf_durations)
-        else:
-            perf_duration_tokens = (
-                find_closest(
-                    self.vocab.duration_values[1:] * self.max_beat_res, perf_durations
-                )
-                + 1
+    def _perf_duration_stream(
+        self, perf_durations: np.ndarray, score_durations: np.ndarray
+    ) -> np.ndarray:
+        """Quantize performed durations, relative to score durations under
+        ``rel_perf_duration`` (spmuple.py:272-283)."""
+        if self.config.additional_params["rel_perf_duration"]:
+            return find_closest(
+                self.rel_performed_durations, perf_durations / score_durations
             )
+        return (
+            find_closest(self.vocab.duration_values[1:] * self.max_beat_res, perf_durations)
+            + 1
+        )
+
+    def _performance_midi_to_tokens(
+        self,
+        midi: MidiScore,
+        score_tokens: TokSequence,
+        alignment: Optional[np.ndarray] = None,
+    ) -> TokSequence:
+        """Performance encode (semantics of spmuple.py:148-294): elect one
+        tempo per beat, copy score streams, quantize deviation/duration
+        streams."""
+        time_division = midi.ticks_per_beat
+        ticks_per_sample = time_division / self.max_beat_res
+
+        tokens, perf_positions, perf_durations = self._performance_base_rows(midi)
+        score_ids = np.asarray(score_tokens.ids)
+
+        ticks_data = self.compute_ticks(score_ids, time_division, compute_beat_ticks=True)
+        note_on_ticks = ticks_data["note_on"]
+        note_beats = self._snap_to_grid(note_on_ticks, self._tempo_grid(ticks_data))
+
+        # the election pairs each performance row (pre-alignment order) with
+        # its score note's beat; the same permuted beats key the write-back
+        # after tokens are brought into score order (spmuple.py:209-245)
+        if alignment is not None:
+            note_beats = note_beats[np.argsort(alignment)]
+        beat_tempos = self._elect_beat_tempos(
+            note_beats, tokens[:, self.types_idx["Tempo"]]
+        )
+
+        if alignment is not None:
+            tokens = tokens[alignment]
+            perf_positions = perf_positions[alignment]
+            perf_durations = perf_durations[alignment]
+
+        tokens[:, self.types_idx["Tempo"]] = beat_tempos[
+            np.searchsorted(beat_tempos[:, 0], note_beats), 1
+        ]
+
+        self._copy_score_streams(tokens, score_ids)
+
+        score_positions = note_on_ticks / ticks_per_sample
+        score_durations = self.decode_token_type(score_ids, "Duration")
+
+        dev_tokens = self._onset_dev_stream(
+            tokens, perf_positions - score_positions, score_positions
+        )
+        dur_tokens = self._perf_duration_stream(perf_durations, score_durations)
 
         tokens = np.concatenate(
             [
                 tokens,
-                onset_dev_tokens[:, None] + self.zero_token,
-                perf_duration_tokens[:, None] + self.zero_token,
+                dev_tokens[:, None] + self.zero_token,
+                dur_tokens[:, None] + self.zero_token,
             ],
             axis=1,
         ).astype(np.int64)
@@ -362,6 +398,64 @@ class SPMuple(OctupleM):
     ) -> MidiScore:
         return self.tokens_to_midi(tokens, time_division=time_division, **kw)
 
+    def decode_note_ticks(
+        self,
+        tokens: np.ndarray,
+        ticks_data: dict,
+        ticks_per_sample: float = 1,
+        quantize: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Performed note-on/off ticks from performance tokens.
+
+        The deviation/duration math of spmuple.py:411-447, shared by the MIDI
+        decoder (``quantize=True``: integer ticks) and the streaming messenger
+        (``quantize=False``: fractional ticks at sample resolution).
+        """
+        ap = self.config.additional_params
+        note_on_ticks = ticks_data["note_on"].astype(float) if not quantize else ticks_data["note_on"]
+        durations = self.decode_token_type(tokens, "Duration") * ticks_per_sample
+
+        if ap["use_position_shifts"]:
+            pos_shifts = self.decode_token_type(tokens, "PositionShift").astype(np.float64)
+        else:
+            pos_shifts = self.compute_position_shifts(note_on_ticks / ticks_per_sample)
+
+        if ap["rel_onset_dev"]:
+            rel_onset_devs = self.decode_token_type(tokens, "RelOnsetDev")
+            pos_shifts[pos_shifts == 0] = 1
+            onset_devs = rel_onset_devs * pos_shifts * ticks_per_sample
+            if quantize:
+                onset_devs = onset_devs.astype(int)
+        else:
+            onset_devs = self.decode_token_type(tokens, "OnsetDev") * ticks_per_sample
+
+        note_on_ticks = np.maximum(0, note_on_ticks + onset_devs)
+        if quantize:
+            note_on_ticks = note_on_ticks.astype(int)
+
+        if ap["rel_perf_duration"]:
+            rel_perf_durations = self.decode_token_type(tokens, "RelPerfDuration")
+            perf_durations = rel_perf_durations * durations
+        else:
+            perf_durations = self.decode_token_type(tokens, "PerfDuration") * ticks_per_sample
+        if quantize:
+            perf_durations = perf_durations.astype(int)
+
+        return note_on_ticks, note_on_ticks + perf_durations
+
+    def tempo_change_table(
+        self, tokens: np.ndarray, note_on_ticks: np.ndarray, ticks_data: dict
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(tempo values, anchor ticks) at Tempo-token change points, anchors
+        snapped to the beat/bar grid (spmuple.py:452-470); shared by the MIDI
+        decoder and the streaming messenger."""
+        changes = np.flatnonzero(
+            np.r_[True, np.diff(tokens[:, self.types_idx["Tempo"]]) != 0]
+        )
+        tempos = self.decode_token_type(tokens[changes], "Tempo")
+        anchors = self._snap_to_grid(note_on_ticks[changes], self._tempo_grid(ticks_data))
+        return tempos, anchors
+
     def performance_tokens_to_midi(
         self,
         tokens: Union[TokSequence, np.ndarray],
@@ -381,51 +475,23 @@ class SPMuple(OctupleM):
 
         pitches = self.decode_token_type(tokens, "Pitch")
         velocities = self.decode_token_type(tokens, "Velocity")
-        durations = self.decode_token_type(tokens, "Duration") * ticks_per_sample
-        note_on_ticks = ticks_data["note_on"]
 
-        if ap["use_position_shifts"]:
-            pos_shifts = self.decode_token_type(tokens, "PositionShift").astype(np.float64)
-        else:
-            pos_shifts = self.compute_position_shifts(note_on_ticks / ticks_per_sample)
-
-        if ap["rel_onset_dev"]:
-            rel_onset_devs = self.decode_token_type(tokens, "RelOnsetDev")
-            pos_shifts[pos_shifts == 0] = 1
-            onset_devs = (rel_onset_devs * pos_shifts * ticks_per_sample).astype(int)
-        else:
-            onset_devs = self.decode_token_type(tokens, "OnsetDev") * ticks_per_sample
-
-        note_on_ticks = np.maximum(0, note_on_ticks + onset_devs).astype(int)
-
-        if ap["rel_perf_duration"]:
-            rel_perf_durations = self.decode_token_type(tokens, "RelPerfDuration")
-            perf_durations = (rel_perf_durations * durations).astype(int)
-        else:
-            perf_durations = (
-                self.decode_token_type(tokens, "PerfDuration") * ticks_per_sample
-            ).astype(int)
-
-        note_off_ticks = (note_on_ticks + perf_durations).astype(int)
+        note_on_ticks, note_off_ticks = self.decode_note_ticks(
+            tokens, ticks_data, ticks_per_sample, quantize=True
+        )
+        note_off_ticks = note_off_ticks.astype(int)
 
         time_sigs, time_sig_ticks = ticks_data["time_sig"]
         midi.time_sigs = TimeSigMap(
             time_sig_ticks.astype(np.int64), time_sigs[:, 0], time_sigs[:, 1]
         )
 
-        tempo_indices = np.concatenate(
-            [[0], np.where(np.diff(tokens[:, self.types_idx["Tempo"]]))[0] + 1]
-        )
-        tempos = self.decode_token_type(tokens[tempo_indices], "Tempo")
-        if len(tempos) > 0:
-            beat_ticks = ticks_data["bar"] if ap["bar_tempos"] else ticks_data["beat"]
-            tempo_ticks = note_on_ticks[tempo_indices]
-            tempo_ticks = beat_ticks[
-                np.minimum(np.searchsorted(beat_ticks, tempo_ticks), beat_ticks.shape[0] - 1)
-            ]
+        if len(tokens) > 0:
+            tempos, tempo_ticks = self.tempo_change_table(tokens, note_on_ticks, ticks_data)
+            tempo_ticks = tempo_ticks.copy()
             tempo_ticks[0] = 0
         else:
-            tempo_ticks = np.array([0])
+            tempos, tempo_ticks = np.empty(0), np.array([0])
         midi.tempos = TempoMap(tempo_ticks.astype(np.int64), np.round(tempos, 3))
 
         if self.config.use_programs:

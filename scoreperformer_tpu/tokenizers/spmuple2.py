@@ -367,6 +367,117 @@ class SPMuple2(SPMuple):
 
     # ---- decode (spmuple2.py:329-489) ----
 
+    def decode_onset_times(
+        self,
+        tokens: np.ndarray,
+        note_ticks: np.ndarray,
+        duration_ticks: np.ndarray,
+        tempo_scale: float,
+        initial_tempo: float,
+        pairs: Optional[np.ndarray] = None,
+        tempo_rows: Optional[np.ndarray] = None,
+    ):
+        """Sequential onset-time reconstruction from performance tokens.
+
+        The single owner of the decode-side tempo recursion, shared by
+        `performance_tokens_to_midi` (fresh state over a full sequence) and
+        the streaming messenger (state carried across chunks). Semantics of
+        reference spmuple2.py:408-476 / messengers.py:246-328:
+
+        - onsets advance a (tick, time) pair chain; each onset's time is the
+          tempo-predicted time plus the mean deviation of its performed notes;
+        - per-onset tempo is the mean token tempo, or (under
+          ``decode_recompute_tempos``) re-estimated from the local window of
+          previous pairs;
+        - a chunk boundary can split one onset across calls: when the first
+          onset of a call repeats the carried chain's last tick, its notes are
+          folded into that row by count-weighted averaging, stepping the
+          recursion back one onset (the weights follow the reference,
+          messengers.py:259-296).
+
+        ``pairs`` rows are (tick, time, note count); ``tempo_rows`` rows are
+        (tempo, tick, time), advanced in lockstep one row per onset. Unlike
+        the reference, carried arrays are never mutated in place — callers
+        that discard the returned state keep a valid carry.
+
+        Returns (note_times, note_end_times, pairs, tempo_rows).
+        """
+        ap = self.config.additional_params
+        recompute = ap["decode_recompute_tempos"] and not ap["onset_tempos"]
+
+        is_performed = tokens[:, self.types_idx["Velocity"]] != self.zero_token
+        token_tempos = self.decode_token_type(tokens, "Tempo")
+        rel_devs = self.decode_token_type(tokens, "RelOnsetDev")
+        rel_durs = self.decode_token_type(tokens, "RelPerfDuration")
+
+        if tempo_rows is None:
+            tempo_rows = np.array([[initial_tempo, 0.0, 0.0]])
+        else:
+            tempo_rows = tempo_rows.copy()
+        if pairs is None:
+            if note_ticks[0] > 0:
+                pairs = np.array([[0.0, 0.0, 1.0]])
+            else:
+                # a piece starting at tick 0 anchors on a synthetic
+                # predecessor one tick back at the carried tempo
+                pairs = np.array([[-1.0, -1.0 / tempo_rows[-1, 0] * tempo_scale, 1.0]])
+        else:
+            pairs = pairs.copy()
+
+        note_times = np.zeros(len(note_ticks))
+        note_end_times = np.zeros(len(note_ticks))
+
+        for tick in np.unique(note_ticks[is_performed]):
+            in_onset = note_ticks == tick
+            n_notes = int(in_onset.sum())
+            merge = tick > 0 and tick == tempo_rows[-1, 1]
+            back = 2 if merge else 1
+            prev_tick, prev_time, prev_n = pairs[-back]
+            tempo = tempo_rows[-back, 0]
+
+            if not recompute:
+                seen = token_tempos[in_onset]
+                tempo = (
+                    (tempo * prev_n + seen.sum()) / (prev_n + n_notes)
+                    if merge
+                    else seen.mean()
+                )
+
+            shift = (tick - prev_tick) / tempo * tempo_scale
+            onset_note_times = prev_time + shift + rel_devs[in_onset] * shift
+            performed_times = onset_note_times[is_performed[in_onset]]
+            if merge:
+                onset_time = (pairs[-1, 1] * prev_n + performed_times.sum()) / (
+                    prev_n + n_notes
+                )
+                pairs[-1] = (tick, onset_time, prev_n + n_notes)
+            else:
+                onset_time = performed_times.mean()
+                pairs = np.vstack([pairs, [tick, onset_time, float(n_notes)]])
+
+            note_times[in_onset] = onset_note_times
+            note_end_times[in_onset] = (
+                onset_note_times
+                + rel_durs[in_onset] * duration_ticks[in_onset] / tempo * tempo_scale
+            )
+
+            if recompute:
+                if onset_time < 2 * ap["tempo_min_onset_dist"]:
+                    tempo = initial_tempo
+                else:
+                    window = self.filter_onsets_in_window(
+                        pairs[-1, :2], pairs[:-1, :2], index=len(pairs) - 1
+                    )
+                    tempo = self.compute_local_tempo(pairs[-1, :2] - window, tempo_scale)
+
+            row = [tempo, tick, onset_time]
+            if merge:
+                tempo_rows = np.vstack([tempo_rows[:-1], row])
+            else:
+                tempo_rows = np.vstack([tempo_rows, row])
+
+        return note_times, note_end_times, pairs, tempo_rows
+
     def performance_tokens_to_midi(
         self,
         tokens: Union[TokSequence, np.ndarray],
@@ -388,7 +499,6 @@ class SPMuple2(SPMuple):
 
         ticks_data = self.compute_ticks(tokens, time_division, compute_beat_ticks=False)
         score_ticks = ticks_data["note_on"]
-        score_positions = score_ticks / ticks_per_sample
 
         duration_ticks = self.decode_token_type(tokens, "Duration") * ticks_per_sample
 
@@ -398,68 +508,26 @@ class SPMuple2(SPMuple):
         )
 
         is_performed = tokens[:, self.types_idx["Velocity"]] != self.zero_token
-        score_onsets = np.unique(score_ticks[is_performed])
 
-        token_tempos = self.decode_token_type(tokens, "Tempo")
-
+        # seed the recursion: first-onset mean token tempo, or the provided
+        # initial tempo when tempos are re-estimated during decode
         recompute = ap["decode_recompute_tempos"] and not ap["onset_tempos"]
         if not recompute:
-            tempo = token_tempos[score_ticks == score_onsets[0]].mean()
-        else:
-            tempo = initial_tempo or DEFAULT_TEMPO
-
-        note_rel_onset_devs = self.decode_token_type(tokens, "RelOnsetDev")
-        note_rel_perf_durations = self.decode_token_type(tokens, "RelPerfDuration")
-
-        # onset-by-onset time reconstruction
-        if score_positions[0] > 0:
-            onset_pairs = np.zeros((len(score_onsets) + 1, 2))
-        else:
-            onset_pairs = np.zeros((len(score_onsets) + 1, 2))
-            onset_pairs[0] = (-1, -1 / tempo * tempo_scale)
-        prev_onset_tick, prev_onset_time = onset_pairs[0]
-
-        num_tokens = len(score_positions)
-        perf_times = np.zeros(num_tokens)
-        perf_offset_times = np.zeros(num_tokens)
-
-        for i, onset_tick in enumerate(score_onsets):
-            onset_mask = score_ticks == onset_tick
-
-            if not recompute:
-                tempo = token_tempos[onset_mask].mean()
-
-            score_shift = onset_tick - prev_onset_tick
-            time_shift = score_shift / tempo * tempo_scale
-            onset_time = prev_onset_time + time_shift
-
-            onset_devs = note_rel_onset_devs[onset_mask] * time_shift
-            onset_perf_times = onset_time + onset_devs
-
-            onset_time = onset_perf_times[is_performed[onset_mask]].mean()
-
-            onset_pairs[i + 1] = (onset_tick, onset_time)
-
-            onset_score_time_durations = duration_ticks[onset_mask] / tempo * tempo_scale
-            onset_perf_time_durations = (
-                note_rel_perf_durations[onset_mask] * onset_score_time_durations
+            first_onset = np.min(score_ticks[is_performed])
+            seed_tempo = float(
+                self.decode_token_type(tokens, "Tempo")[score_ticks == first_onset].mean()
             )
+        else:
+            seed_tempo = initial_tempo or DEFAULT_TEMPO
 
-            perf_times[onset_mask] = onset_perf_times
-            perf_offset_times[onset_mask] = onset_perf_times + onset_perf_time_durations
-
-            if recompute:
-                if onset_time < 2 * ap["tempo_min_onset_dist"]:
-                    tempo = initial_tempo
-                else:
-                    pairs_in_window = self.filter_onsets_in_window(
-                        onset_pairs[i + 1], onset_pairs[: i + 1], index=i + 1
-                    )
-                    tempo = self.compute_local_tempo(
-                        onset_pairs[i + 1] - pairs_in_window, tempo_scale
-                    )
-
-            prev_onset_tick, prev_onset_time = onset_tick, onset_time
+        perf_times, perf_offset_times, pairs, _ = self.decode_onset_times(
+            tokens,
+            score_ticks,
+            duration_ticks,
+            tempo_scale,
+            initial_tempo=seed_tempo,
+        )
+        onset_pairs = pairs[:, :2]
 
         pitches = self.decode_token_type(tokens, "Pitch")
         velocities = self.decode_token_type(tokens, "Velocity")
