@@ -95,9 +95,12 @@ class Track:
     program: int = 0
     is_drum: bool = False
     name: str = ""
-    # control changes / pedals / pitch bends as (N, 2+) arrays [time, value(s)]
+    # control changes (N, 3) [time, number, value]; pitch bends (N, 2)
+    # [time, value]; sustain pedals (N, 2) [start, end] — derived from CC64
+    # runs at parse time (reference Track counterpart carries Pedal objects)
     control_changes: np.ndarray = field(default_factory=lambda: np.empty((0, 3), np.int64))
     pitch_bends: np.ndarray = field(default_factory=lambda: np.empty((0, 2), np.int64))
+    pedals: np.ndarray = field(default_factory=lambda: np.empty((0, 2), np.int64))
 
 
 @dataclass
@@ -208,6 +211,7 @@ class MidiScore:
                     name=t.name,
                     control_changes=t.control_changes.copy(),
                     pitch_bends=t.pitch_bends.copy(),
+                    pedals=t.pedals.copy(),
                 )
                 for t in self.tracks
             ],

@@ -150,6 +150,9 @@ def read_midi_native(path_or_bytes) -> MidiScore:
                 ccs = np.empty((n_ccs.value, 3), np.int64)
                 lib.smf_group_ccs(handle, i, ccs.ctypes.data_as(ctypes.c_void_p))
                 track.control_changes = ccs
+                from .ops import derive_sustain_pedals
+
+                track.pedals = derive_sustain_pedals(ccs)
             if n_pbs.value:
                 pbs = np.empty((n_pbs.value, 2), np.int64)
                 lib.smf_group_pbs(handle, i, pbs.ctypes.data_as(ctypes.c_void_p))

@@ -163,14 +163,77 @@ def quantize_time_signature_times(
     )
 
 
+def derive_sustain_pedals(control_changes: np.ndarray) -> np.ndarray:
+    """Sustain-pedal intervals from CC64 runs.
+
+    A pedal starts at the first CC64 with value >= 64 while the pedal is up
+    and ends at the next CC64 with value < 64 (an unterminated press ends at
+    the last CC time). This is the interval model the reference's Track
+    objects carry as first-class ``pedals``. Returns (N, 2) [start, end].
+    """
+    if len(control_changes) == 0:
+        return np.empty((0, 2), np.int64)
+    cc64 = control_changes[control_changes[:, 1] == 64]
+    if len(cc64) == 0:
+        return np.empty((0, 2), np.int64)
+    cc64 = cc64[np.argsort(cc64[:, 0], kind="stable")]
+    down = cc64[:, 2] >= 64
+    # state transitions: a press is a down event whose previous state was up
+    prev_down = np.r_[False, down[:-1]]
+    starts = cc64[down & ~prev_down, 0]
+    ends = cc64[~down & prev_down, 0]
+    if len(starts) > len(ends):
+        ends = np.r_[ends, cc64[-1, 0]]
+    pedals = np.stack([starts, ends[: len(starts)]], axis=1).astype(np.int64)
+    return pedals[pedals[:, 1] > pedals[:, 0]]
+
+
+def _snap_to_sample(times: np.ndarray, ticks_per_sample: int) -> np.ndarray:
+    """Nearest-sample rounding with ties toward the earlier sample (the
+    reference tokenizer's pedal/bend quantization rule)."""
+    offset = times % ticks_per_sample
+    up = offset > ticks_per_sample / 2
+    return times - offset + np.where(up, ticks_per_sample, 0)
+
+
+def quantize_sustain_pedals(pedals: np.ndarray, ticks_per_sample: int) -> np.ndarray:
+    """Snap pedal on/off times to the sample grid; presses that collapse to
+    zero length keep one sample (reference midi_tokenizer.py:45-48 hook,
+    tokenizer-base semantics)."""
+    if len(pedals) == 0:
+        return pedals
+    start = _snap_to_sample(pedals[:, 0], ticks_per_sample)
+    end = _snap_to_sample(pedals[:, 1], ticks_per_sample)
+    end = np.where(end == start, end + ticks_per_sample, end)
+    return np.stack([start, end], axis=1).astype(np.int64)
+
+
+def quantize_pitch_bends(pitch_bends: np.ndarray, ticks_per_sample: int) -> np.ndarray:
+    """Snap bend times to the sample grid; of several bends landing on one
+    sample keep the largest-magnitude one, later events winning ties
+    (reference midi_tokenizer.py:49-52 hook, tokenizer-base semantics)."""
+    if len(pitch_bends) == 0:
+        return pitch_bends
+    times = _snap_to_sample(pitch_bends[:, 0], ticks_per_sample)
+    values = pitch_bends[:, 1]
+    # rank within each snapped time by (|value|, original order); keep the top
+    order = np.lexsort((np.arange(len(times)), np.abs(values), times))
+    times, values = times[order], values[order]
+    keep = np.r_[np.diff(times) != 0, True]
+    return np.stack([times[keep], values[keep]], axis=1).astype(np.int64)
+
+
 def filter_late_events(midi: MidiScore, max_tick: Optional[int] = None) -> MidiScore:
-    """Drop control changes / pitch bends past ``max_tick`` (utils.py:99-124)."""
+    """Drop control changes / pedals / pitch bends past ``max_tick``
+    (utils.py:99-124)."""
     max_tick = max_tick or midi.max_tick
     for track in midi.tracks:
         if len(track.control_changes):
             track.control_changes = track.control_changes[
                 track.control_changes[:, 0] <= max_tick
             ]
+        if len(track.pedals):
+            track.pedals = track.pedals[track.pedals[:, 1] <= max_tick]
         if len(track.pitch_bends):
             track.pitch_bends = track.pitch_bends[track.pitch_bends[:, 0] <= max_tick]
     return midi
@@ -189,6 +252,8 @@ def resample_midi(midi: MidiScore, ticks_per_beat: int, inplace: bool = True) ->
             track.control_changes[:, 0] = (scale * track.control_changes[:, 0]).astype(np.int64)
         if len(track.pitch_bends):
             track.pitch_bends[:, 0] = (scale * track.pitch_bends[:, 0]).astype(np.int64)
+        if len(track.pedals):
+            track.pedals = (scale * track.pedals).astype(np.int64)
     midi.tempos.time = (scale * midi.tempos.time).astype(np.int64)
     midi.time_sigs.time = (scale * midi.time_sigs.time).astype(np.int64)
     midi.key_sigs = [(int(scale * t), k) for t, k in midi.key_sigs]

@@ -200,6 +200,9 @@ def read_midi_py(path_or_bytes) -> MidiScore:
             )
             if control_changes:
                 track.control_changes = np.array(control_changes, np.int64)
+                from .ops import derive_sustain_pedals
+
+                track.pedals = derive_sustain_pedals(track.control_changes)
             if pitch_bends:
                 track.pitch_bends = np.array(pitch_bends, np.int64)
             score.tracks.append(track)
@@ -277,9 +280,23 @@ def write_midi(score: MidiScore, path=None) -> bytes:
             end = max(start, int(notes.end[i]))
             events.append((start, 1, bytes([0x90 | channel, pitch, velocity])))
             events.append((end, 0, bytes([0x80 | channel, pitch, 64])))
+        # pedals own CC64 on write: the interval array is authoritative (it
+        # may have been quantized after parsing), so raw CC64 events are
+        # dropped in its favor; all other CCs pass through
+        skip_cc64 = len(track.pedals) > 0
         for i in range(len(track.control_changes)):
             t, num, val = (int(x) for x in track.control_changes[i])
+            if skip_cc64 and num == 64:
+                continue
             events.append((t, 1, bytes([0xB0 | channel, num & 0x7F, val & 0x7F])))
+        for i in range(len(track.pedals)):
+            start, end = (int(x) for x in track.pedals[i])
+            events.append((start, 1, bytes([0xB0 | channel, 64, 127])))
+            events.append((end, 0, bytes([0xB0 | channel, 64, 0])))
+        for i in range(len(track.pitch_bends)):
+            t, val = (int(x) for x in track.pitch_bends[i])
+            raw = (val + 8192) & 0x3FFF
+            events.append((t, 1, bytes([0xE0 | channel, raw & 0x7F, raw >> 7])))
         events.sort(key=lambda e: (e[0], e[1]))
 
         body = bytearray()

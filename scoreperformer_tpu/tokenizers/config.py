@@ -26,6 +26,8 @@ class TokenizerConfig:
     use_tempos: bool = True
     use_time_signatures: bool = True
     use_programs: bool = False
+    use_sustain_pedals: bool = False
+    use_pitch_bends: bool = False
     nb_tempos: int = 121
     tempo_range: Tuple[int, int] = (15, 480)
     log_tempos: bool = True
@@ -63,6 +65,8 @@ class TokenizerConfig:
             "use_tempos",
             "use_time_signatures",
             "use_programs",
+            "use_sustain_pedals",
+            "use_pitch_bends",
             "nb_tempos",
             "tempo_range",
             "log_tempos",
@@ -88,6 +92,8 @@ class TokenizerConfig:
             "use_tempos": self.use_tempos,
             "use_time_signatures": self.use_time_signatures,
             "use_programs": self.use_programs,
+            "use_sustain_pedals": self.use_sustain_pedals,
+            "use_pitch_bends": self.use_pitch_bends,
             "nb_tempos": self.nb_tempos,
             "tempo_range": list(self.tempo_range),
             "log_tempos": self.log_tempos,

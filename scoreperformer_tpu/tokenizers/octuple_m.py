@@ -160,6 +160,18 @@ class OctupleM:
         )
         midi.time_sigs = TimeSigMap(t, n, d)
 
+    def _quantize_aux_event_streams(self, midi: MidiScore) -> None:
+        """Snap sustain pedals and pitch bends to the sample grid, gated by
+        the config flags (reference midi_tokenizer.py:44-52)."""
+        from ..midi.ops import quantize_pitch_bends, quantize_sustain_pedals
+
+        ticks_per_sample = int(midi.ticks_per_beat / self.max_beat_res)
+        for track in midi.tracks:
+            if self.config.use_sustain_pedals and len(track.pedals):
+                track.pedals = quantize_sustain_pedals(track.pedals, ticks_per_sample)
+            if self.config.use_pitch_bends and len(track.pitch_bends):
+                track.pitch_bends = quantize_pitch_bends(track.pitch_bends, ticks_per_sample)
+
     def preprocess_midi(self, midi: MidiScore, is_score: bool = True) -> MidiScore:
         """In-place preprocessing (reference midi_tokenizer.py:17-71 +
         octuple_m.py:75-88)."""
@@ -177,6 +189,7 @@ class OctupleM:
             track.notes = notes
             kept_tracks.append(track)
         midi.tracks = kept_tracks
+        self._quantize_aux_event_streams(midi)
 
         if midi.tracks:
             midi.recompute_max_tick()

@@ -83,6 +83,7 @@ class SPMuple(OctupleM):
             track.notes = notes
             kept.append(track)
         midi.tracks = kept
+        self._quantize_aux_event_streams(midi)
 
         if midi.tracks:
             midi.recompute_max_tick()

@@ -73,6 +73,7 @@ class SPMuple2(SPMuple):
             track.notes = notes
             kept.append(track)
         midi.tracks = kept
+        self._quantize_aux_event_streams(midi)
 
         if midi.tracks:
             midi.recompute_max_tick()
