@@ -78,6 +78,96 @@ class Attention(nn.Module):
     def kv_dim(self) -> int:
         return self.dim_head if self.one_kv_head else self.dim_head * self.heads
 
+    def _chunked_cache_attend(self, x, mask, attn_mask, cache, cache_index):
+        """Decode attention over a FROZEN prefix cache plus a small carried
+        fresh-chunk buffer.
+
+        The scan decode pays a defensive copy of every carried cache buffer
+        per step (measured: ~55% of step time at the flagship config,
+        BASELINE.md round 2). Here only the (chunk, b, kv) fresh buffers are
+        scan-carried; the big (cap, b, kv) prefix is a loop-invariant operand
+        that XLA does not copy, and the chunk is merged into the prefix once
+        per chunk outside the inner scan (wrappers.mixedlm_unmask chunked
+        mode). Attention = softmax over [prefix dots | fresh dots] with key
+        positions masked to written slots; the caches themselves are never
+        concatenated.
+
+        `cache` holds {"k","v"}: frozen prefix (cap, b, kv); {"fk","fv"}:
+        carried fresh chunk (C, b, kv); "base": global position of fresh
+        slot 0. Returns (out, {"fk","fv"} updated). No ring wrap: requires
+        cap >= total decode length (asserted upstream).
+        """
+        b, n = x.shape[:2]
+        h, d = self.heads, self.dim_head
+        scale = d**-0.5
+        idx = cache_index if cache_index is not None else 0
+        base = cache["base"]
+
+        q = self.to_q(x).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = self.to_k(x)
+        v = self.to_v(x)
+
+        fk = write_kv(cache["fk"], k.swapaxes(0, 1), idx - base)
+        fv = write_kv(cache["fv"], v.swapaxes(0, 1), idx - base)
+        pk, pv = cache["k"], cache["v"]
+        cap, chunk = pk.shape[0], fk.shape[0]
+
+        pos_q = idx + jnp.arange(n)
+        key_pos = jnp.concatenate([jnp.arange(cap), base + jnp.arange(chunk)])
+        # prefix slots at/past the chunk base are stale; fresh slots past the
+        # current step fall to the causal mask below
+        key_valid = jnp.concatenate(
+            [jnp.arange(cap) < base, jnp.ones(chunk, dtype=bool)]
+        )
+
+        if self.one_kv_head:
+            dots = jnp.concatenate(
+                [jnp.einsum("bhid,jbd->bhij", q, pk), jnp.einsum("bhid,jbd->bhij", q, fk)],
+                axis=-1,
+            ) * scale
+        else:
+            dots = jnp.concatenate(
+                [
+                    jnp.einsum("bhid,jbhd->bhij", q, pk.reshape(cap, b, h, d)),
+                    jnp.einsum("bhid,jbhd->bhij", q, fk.reshape(chunk, b, h, d)),
+                ],
+                axis=-1,
+            ) * scale
+
+        neg = jnp.asarray(MASK_VALUE, dots.dtype)
+        if self.rel_pos is not None:
+            bias = self.rel_pos(n, cap + chunk, pos_i=pos_q, pos_j=key_pos)
+            dots = dots + bias[None].astype(dots.dtype)
+        if mask is not None:
+            dots = jnp.where(mask[:, None, None, :], dots, neg)
+        if attn_mask is not None:
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None, None]
+            elif attn_mask.ndim == 3:
+                attn_mask = attn_mask[:, None]
+            dots = jnp.where(attn_mask, dots, neg)
+        if self.max_attend is not None:
+            dist = pos_q[:, None] - key_pos[None, :]
+            window_ok = (-self.max_attend < dist) & (dist <= self.max_attend)
+            dots = jnp.where(window_ok[None, None], dots, neg)
+        if self.causal:
+            causal_ok = key_pos[None, :] <= pos_q[:, None]
+            dots = jnp.where(causal_ok[None, None], dots, neg)
+        dots = jnp.where(key_valid[None, None, None, :], dots, neg)
+
+        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(dots.dtype)
+
+        if self.one_kv_head:
+            out = jnp.einsum("bhij,jbd->bhid", attn[..., :cap], pv) + jnp.einsum(
+                "bhij,jbd->bhid", attn[..., cap:], fv
+            )
+        else:
+            out = jnp.einsum(
+                "bhij,jbhd->bhid", attn[..., :cap], pv.reshape(cap, b, h, d)
+            ) + jnp.einsum("bhij,jbhd->bhid", attn[..., cap:], fv.reshape(chunk, b, h, d))
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out), {"fk": fk, "fv": fv}
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -96,6 +186,10 @@ class Attention(nn.Module):
         positions [cache_index, cache_index + n) and queries attend over the
         whole buffer masked to the written prefix.
         """
+        if cache is not None and "fk" in cache:
+            assert context is None, "chunked cache is not compatible with cross-attention"
+            return self._chunked_cache_attend(x, mask, attn_mask, cache, cache_index)
+
         b, n = x.shape[:2]
         h, d = self.heads, self.dim_head
         scale = d**-0.5

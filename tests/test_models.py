@@ -441,6 +441,32 @@ class TestWrappers:
                                        batch["masked_perf"], **kwargs))
         np.testing.assert_array_equal(fast, slow)
 
+    def test_mixedlm_unmask_chunked_matches_classic(self, sp_model):
+        """The chunked-carry decode (small carried fresh-KV buffers + frozen
+        prefix operand) must emit the classic scan's tokens, including with a
+        chunk size that does not divide the step count (padded tail)."""
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+            greedy=True,
+        )
+        classic = np.array(
+            mixedlm_unmask(model, variables, tokens, batch["masked_perf"], **kwargs)
+        )
+        for chunk in (8, 5, 16):
+            chunked = np.array(
+                mixedlm_unmask(
+                    model, variables, tokens, batch["masked_perf"],
+                    chunk_size=chunk, **kwargs,
+                )
+            )
+            np.testing.assert_array_equal(chunked, classic, err_msg=f"chunk={chunk}")
+
     def test_mixedlm_unmask_fills_masks(self, sp_model):
         from scoreperformer_tpu.models.wrappers import mixedlm_unmask
 
