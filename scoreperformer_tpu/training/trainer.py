@@ -95,6 +95,9 @@ class TrainerConfig(ModuleConfig):
     coordinator_address: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    # ZeRO-1-style optimizer-state sharding over the data axis
+    # (parallel.mesh.opt_state_shardings); parity-tested on the virtual mesh
+    zero_sharding: bool = False
     bf16_compute: bool = False
     # activation rematerialization (jax.checkpoint) in the train step:
     # recompute the forward during backward instead of storing activations
@@ -262,6 +265,10 @@ class Trainer:
     def setup_optimizer(self):
         self.tx = build_optimizer(self.config.optimization, self.steps_per_epoch or 1)
         self.opt_state = self.tx.init(self.params)
+        if self.config.zero_sharding:
+            from ..parallel import shard_opt_state
+
+            self.opt_state = shard_opt_state(self.opt_state, self.mesh)
         self._lr_schedule = build_lr_schedule(
             self.config.optimization, self.steps_per_epoch or 1
         )
@@ -272,6 +279,14 @@ class Trainer:
         bf16 = self.config.bf16_compute
         remat = self.config.remat
         trainable = freeze_mask(self.params, self.config.finetune_layers)
+        # pin the ZeRO placement through the step: without the constraint,
+        # sharding propagation may replicate the updated moments and the
+        # memory saving would decay after the first step
+        opt_shardings = None
+        if self.config.zero_sharding:
+            from ..parallel import opt_state_shardings
+
+            opt_shardings = opt_state_shardings(self.opt_state, self.mesh)
 
         def forward(p, batch, rngs):
             out = model.apply({"params": p}, **batch, deterministic=False, rngs=rngs)
@@ -301,6 +316,10 @@ class Trainer:
             )
             grad_norm = optax_global_norm(grads)
             updates, new_opt_state = tx.update(grads, opt_state, params)
+            if opt_shardings is not None:
+                new_opt_state = jax.lax.with_sharding_constraint(
+                    new_opt_state, opt_shardings
+                )
             new_params = jax.tree.map(lambda p, u: p + u, params, updates)
             metrics = {"loss": loss, "stats/grad_norm": grad_norm}
             metrics.update({k: v.astype(jnp.float32) for k, v in losses.items()})

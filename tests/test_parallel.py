@@ -214,3 +214,83 @@ def test_sharded_batched_decode_matches_single_device():
         jax.device_put(ctx, bs),
     ))
     np.testing.assert_array_equal(single, sharded)
+
+
+class TestZeroOptStateSharding:
+    """ZeRO-1 optimizer-state sharding (SURVEY §2.8): moments sharded over
+    the data axis, update math unchanged."""
+
+    def _setup(self):
+        import optax
+
+        rng = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        params = {
+            "dense": {"kernel": jax.random.normal(k1, (64, 32)),
+                      "bias": jnp.zeros((32,))},
+            "head": {"kernel": jax.random.normal(k2, (32, 8))},
+        }
+        x = jax.random.normal(k3, (16, 64))
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-2))
+
+        def step(params, opt_state, x, shardings=None):
+            def loss_fn(p):
+                h = jnp.tanh(x @ p["dense"]["kernel"] + p["dense"]["bias"])
+                return jnp.mean((h @ p["head"]["kernel"]) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            if shardings is not None:
+                opt_state = jax.lax.with_sharding_constraint(opt_state, shardings)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        return params, tx, x, step
+
+    def test_zero_sharded_steps_match_replicated(self):
+        from functools import partial
+
+        from scoreperformer_tpu.parallel import (
+            opt_state_shardings,
+            shard_opt_state,
+            shard_params,
+        )
+
+        params, tx, x, step = self._setup()
+        mesh = make_mesh(8, 1)
+
+        # replicated reference: 3 steps
+        p_ref, s_ref = params, tx.init(params)
+        ref_step = jax.jit(step)
+        for _ in range(3):
+            p_ref, s_ref, loss_ref = ref_step(p_ref, s_ref, x)
+
+        # ZeRO: moments sharded over data, same math
+        p_z = shard_params(params, mesh)
+        s_z = shard_opt_state(tx.init(p_z), mesh)
+        shardings = opt_state_shardings(s_z, mesh)
+        z_step = jax.jit(partial(step, shardings=shardings))
+        for _ in range(3):
+            p_z, s_z, loss_z = z_step(p_z, s_z, jax.device_put(x, batch_sharding(mesh)))
+
+        np.testing.assert_allclose(float(loss_ref), float(loss_z), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-6),
+            p_ref, jax.device_get(p_z),
+        )
+
+    def test_moments_actually_sharded(self):
+        import optax
+
+        from scoreperformer_tpu.parallel import shard_opt_state
+
+        params, tx, _, _ = self._setup()
+        mesh = make_mesh(8, 1)
+        opt_state = shard_opt_state(tx.init(params), mesh)
+        adam_state = opt_state[1][0]  # chain -> adamw -> ScaleByAdamState
+        mu_kernel = adam_state.mu["dense"]["kernel"]
+        spec = mu_kernel.sharding.spec
+        assert "data" in tuple(spec), f"mu not sharded: {spec}"
+        # scalar count stays replicated
+        assert adam_state.count.sharding.spec == P()
+
