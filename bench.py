@@ -323,6 +323,55 @@ def measure_torch_baseline(seq=256, steps=64):
     return steps / elapsed
 
 
+# Pinned torch-CPU reference baseline (reference-style decode loop, batch 1).
+# Re-measured per run it swings with host load (recorded: 131 r1, 370/198 r2),
+# making the headline ratio incomparable across rounds — so the ratio is
+# computed against this pinned median-of-3 from an idle host (2026-08-17:
+# 365.1/362.6/371.7 tok/s). `--measure-baseline` re-measures and reports the
+# live number alongside, without changing the pinned ratio.
+PINNED_TORCH_BASELINE = 365.1
+
+# v5e (v5 lite) speed-of-light reference numbers for MFU context
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def flagship_decode_flops_per_token() -> float:
+    """Analytic MXU FLOPs per decoded token (flagship decode step): embedding
+    projections, per-layer AdaLN/QKV/attend/out/GLU-FF, tied head + logits.
+    2*m*n per m→n matmul row; attention terms scale with the attended length
+    (full cache capacity, the compiled shape)."""
+    S = len(FLAGSHIP_NUM_TOKENS)
+    emb_total = EMB_DIM * S
+    v_total = sum(FLAGSHIP_NUM_TOKENS.values())
+    j = 256  # attended length = cache capacity (static shape)
+
+    embed = 2 * (2 * emb_total * DIM) + 2 * (2 * DIM) * DIM + 2 * (2 * DIM) * DIM
+    per_layer = (
+        2 * 64 * (2 * DIM)            # AdaLN gamma/beta
+        + 2 * DIM * (HEADS * DIM_HEAD)  # q
+        + 2 * 2 * DIM * DIM_HEAD        # k, v (one kv head)
+        + 2 * j * (HEADS * DIM_HEAD)    # q.K
+        + 2 * j * (HEADS * DIM_HEAD)    # attn.V
+        + 2 * (HEADS * DIM_HEAD) * DIM  # out proj
+        + 2 * 64 * (2 * DIM)            # AdaLN 2
+        + 2 * DIM * (8 * DIM)           # GLU in (2x mult-4 inner)
+        + 2 * (4 * DIM) * DIM           # GLU out
+    )
+    head = 2 * DIM * emb_total + 2 * EMB_DIM * v_total
+    return float(embed + DEPTH * per_layer + head)
+
+
+def flagship_decode_cache_bytes_per_token(dtype_bytes: int = 4) -> float:
+    """HBM bytes of KV-cache traffic per decoded token: each step reads both
+    (cap, b, kv) buffers of every layer for the attend (batch-amortized to
+    per-token) plus one row write per buffer."""
+    cap, kv = 256, DIM_HEAD  # one kv head
+    reads = 2 * DEPTH * cap * kv * dtype_bytes
+    writes = 2 * DEPTH * kv * dtype_bytes
+    return float(reads + writes)
+
+
 def _enable_compile_cache():
     import jax
 
@@ -349,11 +398,29 @@ def main():
 
     _enable_compile_cache()
 
-    baseline = args.baseline
-    if args.measure_baseline or baseline is None:
-        baseline = measure_torch_baseline(seq=args.seq)
+    baseline = args.baseline or PINNED_TORCH_BASELINE
+    live_baseline = None
+    if args.measure_baseline:
+        live_baseline = measure_torch_baseline(seq=args.seq)
 
     tokens_per_sec, wall = measure_tpu_decode(args.batch, args.seq)
+
+    # speed-of-light context (VERDICT r2 #9): FLOPs/token and cache traffic
+    # are analytic properties of the compiled program; achieved rates follow
+    # from the measured tokens/s, judged against v5e peak numbers
+    flops_tok = flagship_decode_flops_per_token()
+    cache_bytes_tok = flagship_decode_cache_bytes_per_token()
+    achieved_tflops = tokens_per_sec * flops_tok / 1e12
+    cache_gbps = tokens_per_sec * cache_bytes_tok / 1e9
+    sol = {
+        "flops_per_token": round(flops_tok / 1e6, 3),  # MFLOPs
+        "achieved_tflops": round(achieved_tflops, 3),
+        "mfu_vs_bf16_peak": round(achieved_tflops / V5E_PEAK_BF16_TFLOPS, 5),
+        "kv_cache_traffic_gbps": round(cache_gbps, 1),
+        "kv_traffic_vs_hbm_peak": round(cache_gbps / V5E_HBM_GBPS, 3),
+        "note": "decode is bandwidth/latency-bound: MFU is tiny by design; "
+                "kv_traffic_vs_hbm_peak is the speed-of-light axis",
+    }
 
     # end-to-end render (tokenize -> encode -> scan decode -> detokenize);
     # secondary metric so round-over-round perf covers the whole pipeline,
@@ -379,6 +446,11 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": round(tokens_per_sec / baseline, 2),
                 "baseline_torch_cpu_tokens_per_sec": round(baseline, 2),
+                "baseline_pinned": args.baseline is None,
+                "baseline_live_tokens_per_sec": (
+                    round(live_baseline, 2) if live_baseline else None
+                ),
+                "speed_of_light": sol,
                 "render_32bar": render,
                 "config": {
                     "batch": args.batch,
