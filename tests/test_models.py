@@ -380,6 +380,32 @@ class TestWrappers:
             prev_ts = np.concatenate([start_np[bi, -1:, 6], gen[bi, : n - 1, 6]])
             assert ((gen[bi, :n, 6] == prev_ts) | ~live).all()
 
+    def test_ar_generate_chunked_matches_classic(self, sp_model):
+        """When the sequence fits the window, ar_generate's chunked-carry
+        scan must emit exactly the classic scan's tokens (divisible and
+        padded chunk counts)."""
+        from scoreperformer_tpu.models.wrappers import ar_generate
+
+        model, variables, batch = sp_model
+        start = batch["perf"][:, :4]
+        T = 16
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, T + 1, 20)),
+            context=jnp.zeros((2, T + 1, 32)),
+            greedy=True, stream_names=list(NUM_TOKENS.keys()),
+        )
+        classic, num_c = ar_generate(
+            model, variables, start, seq_len=T, chunk_size=None, **kwargs
+        )
+        for chunk in (13, 5, 16):
+            gen, num = ar_generate(
+                model, variables, start, seq_len=T, chunk_size=chunk, **kwargs
+            )
+            np.testing.assert_array_equal(np.array(gen), np.array(classic),
+                                          err_msg=f"chunk={chunk}")
+            np.testing.assert_array_equal(np.array(num), np.array(num_c))
+
     def test_ar_generate_sliding_window(self, sp_model):
         """Ring-cache windowed generation (reference wrappers.py:236-237).
 
@@ -466,6 +492,17 @@ class TestWrappers:
                 )
             )
             np.testing.assert_array_equal(chunked, classic, err_msg=f"chunk={chunk}")
+
+        # mixed-precision caches (bf16 prefix / fp32 fresh): near-total greedy
+        # agreement — bf16 rounding may flip rare argmax ties
+        mixed = np.array(
+            mixedlm_unmask(
+                model, variables, tokens, batch["masked_perf"],
+                chunk_size=8, cache_dtype=jnp.bfloat16, fresh_dtype=jnp.float32,
+                **kwargs,
+            )
+        )
+        assert (mixed == classic).mean() > 0.97
 
     def test_mixedlm_unmask_fills_masks(self, sp_model):
         from scoreperformer_tpu.models.wrappers import mixedlm_unmask
