@@ -16,3 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the slow suite's cost is dominated by repeated
+# XLA:CPU compiles of near-identical train/eval/decode programs; caching them
+# cuts reruns of the heavy modules severalfold (first run still pays).
+jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache_tests")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

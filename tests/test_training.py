@@ -151,7 +151,7 @@ class TestTrainer:
 
         dataset, collator, model, model_config = setup
         config = TrainerConfig(
-            output_dir=str(tmp_path / "run2"), epochs=1, batch_size=2,
+            output_dir=str(tmp_path / "run2"), epochs=1, batch_size=4,
             save_strategy="no", eval_strategy="no", log_strategy="no",
             disable_progress=True,
         )
@@ -229,7 +229,7 @@ class TestTrainer:
                     os.kill(os.getpid(), signal.SIGTERM)
 
         config = TrainerConfig(
-            output_dir=str(tmp_path / "run3"), epochs=50, batch_size=2,
+            output_dir=str(tmp_path / "run3"), epochs=50, batch_size=4,
             save_strategy="no", eval_strategy="no", log_strategy="no",
             disable_progress=True,
         )
@@ -251,7 +251,7 @@ class TestTrainer:
         for remat in (False, True):
             config = TrainerConfig(
                 output_dir=str(tmp_path / f"remat{int(remat)}"), epochs=1,
-                batch_size=2, save_strategy="no", eval_strategy="no",
+                batch_size=4, save_strategy="no", eval_strategy="no",
                 log_strategy="epoch", disable_progress=True, seed=5,
                 remat=remat, tensorboard=False,
             )
@@ -284,7 +284,7 @@ class TestTrainer:
         dataset, collator, model, model_config = setup
         trace_dir = str(tmp_path / "trace")
         config = TrainerConfig(
-            output_dir=str(tmp_path / "run4"), epochs=1, batch_size=2,
+            output_dir=str(tmp_path / "run4"), epochs=1, batch_size=4,
             save_strategy="no", eval_strategy="no", log_strategy="no",
             disable_progress=True,
             profile_dir=trace_dir, profile_start_step=0, profile_num_steps=1,
