@@ -104,3 +104,60 @@ class TestIsolatedBarMean:
         np.testing.assert_allclose(l1[0, 4], l2[0, 4], atol=1e-6)
         np.testing.assert_allclose(l1[0, 5], l2[0, 5], atol=1e-6)
         assert np.abs(l1[0, 6] - l2[0, 6]).max() > 1e-6
+
+
+class TestMMDLatentEmbeddingMaps:
+    """The inference helpers mapping latents <-> per-note embeddings
+    (mmd.py:422-462, reference mmd_transformer.py:388-502) must be mutual
+    inverses on the populated segments."""
+
+    @pytest.fixture(scope="class")
+    def module(self):
+        cfg = build_tuple_transformer_config(
+            tiny_transformer_cfg(
+                latent_dim=[6, 4], aggregate_mode=["mean", "bar_mean"],
+                hierarchical=True, max_segments=12,
+            ),
+            mmd=True,
+        )
+        module = MMDTupleTransformer(num_tokens=NUM_TOKENS, config=cfg)
+        rng = np.random.RandomState(0)
+        b, t = 2, 10
+        x = jnp.asarray(np.stack(
+            [rng.randint(4, v, (b, t)) for v in NUM_TOKENS.values()], -1))
+        bars = jnp.asarray(np.sort(rng.randint(4, 12, (b, t)), 1))
+        variables = module.init(
+            jax.random.PRNGKey(0), x, bars=bars,
+            deterministic=True, compute_loss=False,
+        )
+        return module, variables, x, bars
+
+    def test_roundtrip_latents_embeddings_latents(self, module):
+        module, variables, x, bars = module
+        out = module.apply(
+            variables, x, bars=bars, deterministic=True, compute_loss=False
+        )
+        b, t = x.shape[:2]
+        emb = module.apply(
+            variables, out.latents, t, bars=bars,
+            method="latents_to_embeddings",
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb), np.asarray(out.full_embeddings), atol=1e-6
+        )
+        back = module.apply(
+            variables, emb, bars=bars, method="embeddings_to_latents"
+        )
+        # mean level: one pooled latent reproduced exactly
+        np.testing.assert_allclose(
+            np.asarray(back[0]), np.asarray(out.latents[0]), atol=1e-5
+        )
+        # bar level: populated segments round-trip; empty segments are zero
+        lat = np.asarray(out.latents[1])
+        got = np.asarray(back[1])
+        seen = np.zeros(lat.shape[:2], bool)
+        bars_np = np.asarray(bars)
+        for bi in range(b):
+            seen[bi, np.unique(bars_np[bi])] = True
+        np.testing.assert_allclose(got[seen], lat[seen], atol=1e-5)
+        assert (lat[~seen] == 0).all()
