@@ -147,6 +147,7 @@ def mixedlm_unmask(
     cache_dtype=jnp.float32,
     chunk_size: Optional[int] = 16,
     fresh_dtype=None,
+    static_prefix: bool = False,
 ) -> jnp.ndarray:
     """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
 
@@ -311,9 +312,10 @@ def mixedlm_unmask(
     # chunk merge casts fresh -> prefix dtype
     f_dtype = fresh_dtype
 
-    def chunk_body(outer, c):
-        tokens, prefix, rng = outer
-        base = c * C
+    def _run_chunk(tokens, prefix_view, rng, base):
+        """Inner scan of C steps over one chunk: carries only the fresh
+        buffers; `prefix_view` is loop-invariant. Returns updated
+        (tokens, fresh, rng)."""
         fresh = [
             {
                 "fk": jnp.zeros((C,) + layer["k"].shape[1:], f_dtype or layer["k"].dtype),
@@ -321,14 +323,14 @@ def mixedlm_unmask(
             }
             if layer is not None
             else None
-            for layer in prefix
+            for layer in prefix_view
         ]
 
         def body(carry, jj):
             tokens, fresh, rng = carry
             merged = [
                 {**layer, **f, "base": base} if layer is not None else None
-                for layer, f in zip(prefix, fresh)
+                for layer, f in zip(prefix_view, fresh)
             ]
             tokens, new_caches, rng = _step(tokens, merged, rng, base + jj)
             fresh = [
@@ -338,8 +340,10 @@ def mixedlm_unmask(
             return (tokens, fresh, rng), None
 
         (tokens, fresh, rng), _ = jax.lax.scan(body, (tokens, fresh, rng), jnp.arange(C))
+        return tokens, fresh, rng
 
-        prefix = [
+    def _merge_chunk(prefix, fresh, base):
+        return [
             {
                 "k": jax.lax.dynamic_update_slice(
                     layer["k"], f["fk"].astype(layer["k"].dtype), (base, 0, 0)
@@ -352,12 +356,39 @@ def mixedlm_unmask(
             else None
             for layer, f in zip(prefix, fresh)
         ]
-        return (tokens, prefix, rng), None
 
     assert all(c is None or c["k"].shape[0] >= n_chunks * C for c in caches), (
         "chunked decode requires cache capacity >= padded step count (no ring wrap)"
     )
-    (tokens, _, _), _ = jax.lax.scan(chunk_body, (tokens, caches, rng), jnp.arange(n_chunks))
+
+    if not static_prefix:
+        def chunk_body(outer, c):
+            tokens, prefix, rng = outer
+            base = c * C
+            tokens, fresh, rng = _run_chunk(tokens, prefix, rng, base)
+            return (tokens, _merge_chunk(prefix, fresh, base), rng), None
+
+        (tokens, _, _), _ = jax.lax.scan(
+            chunk_body, (tokens, caches, rng), jnp.arange(n_chunks)
+        )
+        return tokens
+
+    # static-prefix variant: unrolled Python loop over chunks, so each
+    # chunk's prefix slice has STATIC length base = c*C — the attend reads
+    # only the written rows (average cap/2) instead of full capacity with
+    # masking. The merge still lands in the full-capacity buffers. Costs a
+    # bigger program (n_chunks inner scans of distinct shapes).
+    prefix = caches
+    for c in range(n_chunks):
+        base = c * C
+        sliced = [
+            {"k": layer["k"][:base], "v": layer["v"][:base]}
+            if layer is not None
+            else None
+            for layer in prefix
+        ]
+        tokens, fresh, rng = _run_chunk(tokens, sliced, rng, base)
+        prefix = _merge_chunk(prefix, fresh, base)
     return tokens
 
 

@@ -493,6 +493,16 @@ class TestWrappers:
             )
             np.testing.assert_array_equal(chunked, classic, err_msg=f"chunk={chunk}")
 
+        # static-prefix variant (unrolled chunks, per-chunk static prefix
+        # slices) must also match
+        static = np.array(
+            mixedlm_unmask(
+                model, variables, tokens, batch["masked_perf"],
+                chunk_size=8, static_prefix=True, **kwargs,
+            )
+        )
+        np.testing.assert_array_equal(static, classic)
+
         # mixed-precision caches (bf16 prefix / fp32 fresh): near-total greedy
         # agreement — bf16 rounding may flip rare argmax ties
         mixed = np.array(
