@@ -15,6 +15,7 @@ lives in `scoreperformer_tpu.ops.tokenizer_ops` for the inference path.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Union
 
 import numpy as np
@@ -191,6 +192,30 @@ class SPMuple2(SPMuple):
         ap = self.config.additional_params
         dev_limit = self.rel_onset_deviations[-1]
         K = len(pairs) - 1
+
+        # native fast path: the same scan in C++ (tokenizers/native.py),
+        # bit-identical for quantized-tempo configs — the O(K^2) windowed
+        # filtering dominates dataset-prep time (~75% of performance encode)
+        quantized = self.config.use_tempos and ap["use_quantized_tempos"]
+        if quantized and os.environ.get("SP_NATIVE_SCAN", "1") != "0":
+            from .native import native_available, tempo_scan_native
+
+            if native_available():
+                return tempo_scan_native(
+                    pairs,
+                    grouped_note_times,
+                    initial_tempo,
+                    tempo_scale,
+                    limit_devs=bool(ap["limit_rel_onset_devs"]),
+                    dev_limit=float(dev_limit),
+                    onset_tempos=bool(ap["onset_tempos"]),
+                    tempo_window=float(ap["tempo_window"]),
+                    min_onset_dist=float(ap["tempo_min_onset_dist"]),
+                    min_onsets=int(ap["tempo_min_onsets"]),
+                    quantize=True,
+                    bins=self.vocab.tempos,
+                    min_tempo=float(self.vocab.tempos[0]),
+                )
 
         tempos = np.empty(K + 1)
         tempos[0] = initial_tempo
