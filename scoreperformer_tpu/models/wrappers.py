@@ -148,6 +148,7 @@ def mixedlm_unmask(
     chunk_size: Optional[int] = 16,
     fresh_dtype=None,
     static_prefix: bool = False,
+    chunk_tokens: bool = False,
 ) -> jnp.ndarray:
     """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
 
@@ -243,12 +244,18 @@ def mixedlm_unmask(
         filtered = jnp.where(lg < kth, NEG_INF, lg)
         return jax.random.categorical(step_rng, filtered / temperature, axis=-1)
 
-    def _step(tokens, step_caches, rng, j):
-        """One decode position: consume token j (already final), predict j+1.
-        Shared by the classic scan and the chunked-carry scan."""
+    # the pre-decode token buffer: positions > j are untouched when step j
+    # runs, so `target` reads can come from this loop-invariant operand —
+    # EXCEPT in the carried-buffer step, whose padded tail steps clamp their
+    # write onto the last position and rely on reading back the CURRENT
+    # (already filled) value; there `target_src` must be the carried buffer
+    tokens0 = tokens
+
+    def _sample_position(seq_j, step_caches, rng, j, target_src):
+        """One decode position: consume `seq_j` (token j, already final),
+        predict j+1. Returns (updated row, new caches, rng)."""
         rng, step_rng = jax.random.split(rng)
 
-        seq_j = jax.lax.dynamic_slice_in_dim(tokens, j, 1, axis=1)
         masked_j = jax.lax.dynamic_slice_in_dim(tokens_masked, j + 1, 1, axis=1)
         style_j = (
             jax.lax.dynamic_slice_in_dim(style_embeddings, j + 1, 1, axis=1)
@@ -278,11 +285,18 @@ def mixedlm_unmask(
                 )
             samples = jnp.stack(new_vals, axis=-1)  # (b, S)
 
-        target = jax.lax.dynamic_slice_in_dim(tokens, j + 1, 1, axis=1)[:, 0]
+        target = jax.lax.dynamic_slice_in_dim(target_src, j + 1, 1, axis=1)[:, 0]
         was_masked = jax.lax.dynamic_slice_in_dim(unmask_mask, j + 1, 1, axis=1)[:, 0]
         in_range = (j + 1) < valid_len
         fill = was_masked & in_range[:, None]
         updated = jnp.where(fill, samples, target)
+        return updated, new_caches, rng
+
+    def _step(tokens, step_caches, rng, j):
+        """Carried-token-buffer step shared by the classic scan and the
+        chunked-carry scan."""
+        seq_j = jax.lax.dynamic_slice_in_dim(tokens, j, 1, axis=1)
+        updated, new_caches, rng = _sample_position(seq_j, step_caches, rng, j, tokens)
         # past-the-end steps of a padded chunk clamp to T-1 and rewrite the
         # unchanged last token (fill is all-False there): harmless by design
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, updated[:, None], j + 1, axis=1)
@@ -342,6 +356,48 @@ def mixedlm_unmask(
         (tokens, fresh, rng), _ = jax.lax.scan(body, (tokens, fresh, rng), jnp.arange(C))
         return tokens, fresh, rng
 
+    def _run_chunk_rows(tokens, prefix_view, rng, base):
+        """Like `_run_chunk` but the inner scan carries a tiny (C+1, b, S)
+        row buffer instead of the full (b, T, S) token tensor: row 0 seeds
+        with the token at `base`, step kk reads row kk and writes row kk+1,
+        and the rows merge into `tokens` once per chunk — the same
+        shrink-the-carry move as the fresh-KV buffers."""
+        fresh = [
+            {
+                "fk": jnp.zeros((C,) + layer["k"].shape[1:], f_dtype or layer["k"].dtype),
+                "fv": jnp.zeros((C,) + layer["v"].shape[1:], f_dtype or layer["v"].dtype),
+            }
+            if layer is not None
+            else None
+            for layer in prefix_view
+        ]
+        ftok = jnp.zeros((C + 1, b, S), tokens.dtype)
+        seed = jax.lax.dynamic_slice_in_dim(tokens, base, 1, axis=1)  # (b, 1, S)
+        ftok = jax.lax.dynamic_update_slice(ftok, seed.swapaxes(0, 1), (0, 0, 0))
+
+        def body(carry, kk):
+            ftok, fresh, rng = carry
+            merged = [
+                {**layer, **f, "base": base} if layer is not None else None
+                for layer, f in zip(prefix_view, fresh)
+            ]
+            seq_j = jax.lax.dynamic_slice_in_dim(ftok, kk, 1, axis=0).swapaxes(0, 1)
+            updated, new_caches, rng = _sample_position(
+                seq_j, merged, rng, base + kk, tokens0
+            )
+            ftok = jax.lax.dynamic_update_slice(ftok, updated[None], (kk + 1, 0, 0))
+            fresh = [
+                {"fk": nc["fk"], "fv": nc["fv"]} if nc is not None else None
+                for nc in new_caches
+            ]
+            return (ftok, fresh, rng), None
+
+        (ftok, fresh, rng), _ = jax.lax.scan(body, (ftok, fresh, rng), jnp.arange(C))
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, ftok[1:].swapaxes(0, 1), (0, base + 1, 0)
+        )
+        return tokens, fresh, rng
+
     def _merge_chunk(prefix, fresh, base):
         return [
             {
@@ -362,16 +418,24 @@ def mixedlm_unmask(
     )
 
     if not static_prefix:
+        run = _run_chunk_rows if chunk_tokens else _run_chunk
+        if chunk_tokens:
+            # pad so the final chunk's row merge never clamps; padded
+            # positions are discarded below (fill is False past valid_len)
+            pad = n_chunks * C + 1 - tokens.shape[1]
+            if pad > 0:
+                tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+
         def chunk_body(outer, c):
             tokens, prefix, rng = outer
             base = c * C
-            tokens, fresh, rng = _run_chunk(tokens, prefix, rng, base)
+            tokens, fresh, rng = run(tokens, prefix, rng, base)
             return (tokens, _merge_chunk(prefix, fresh, base), rng), None
 
         (tokens, _, _), _ = jax.lax.scan(
             chunk_body, (tokens, caches, rng), jnp.arange(n_chunks)
         )
-        return tokens
+        return tokens[:, :T]
 
     # static-prefix variant: unrolled Python loop over chunks, so each
     # chunk's prefix slice has STATIC length base = c*C — the attend reads

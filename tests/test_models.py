@@ -503,6 +503,18 @@ class TestWrappers:
         )
         np.testing.assert_array_equal(static, classic)
 
+        # chunked token rows (small (C+1, b, S) carried row buffer), incl. a
+        # padded tail chunk — regression guard for the padded-tail rewrite,
+        # which must read back the CURRENT last token, not the pre-decode one
+        for chunk in (8, 5):
+            rows = np.array(
+                mixedlm_unmask(
+                    model, variables, tokens, batch["masked_perf"],
+                    chunk_size=chunk, chunk_tokens=True, **kwargs,
+                )
+            )
+            np.testing.assert_array_equal(rows, classic, err_msg=f"chunk={chunk}")
+
         # mixed-precision caches (bf16 prefix / fp32 fresh): near-total greedy
         # agreement — bf16 rounding may flip rare argmax ties
         mixed = np.array(
