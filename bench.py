@@ -36,7 +36,8 @@ HEADS = 4
 DIM_HEAD = 64
 
 
-def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=260):
+def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=260,
+                   return_train_inputs=False):
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +113,12 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
     variables = jax.jit(
         lambda r, p, kw: model.init(r, p, **kw, deterministic=True)
     )(rngs, perf, init_kwargs)
+    if return_train_inputs:
+        labels = np.full((batch, seq, len(num_tokens)), -100)
+        for d in (3, 5, 10, 11):
+            labels[..., d] = np.array(perf[..., d])
+        train_batch = dict(init_kwargs, perf=perf, labels=jnp.array(labels))
+        return model, variables, batch_data, train_batch
     return model, variables, batch_data
 
 
@@ -217,6 +224,49 @@ def measure_render(n_bars=32, repeats=3):
         times.append(time.perf_counter() - t0)
     best = min(times)
     return T / best, best, T
+
+
+def measure_tpu_train(batch=128, seq=256, repeats=3):
+    """Flagship train step (forward + backward + adamw) throughput."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    model, variables, _, train_batch = build_flagship(
+        batch, seq, return_train_inputs=True
+    )
+    params = variables["params"]
+    tx = optax.chain(optax.clip_by_global_norm(2.0), optax.adamw(2e-4))
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, **batch, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, 0),
+                      "latent_dropout": jax.random.fold_in(rng, 1),
+                      "mmd": jax.random.fold_in(rng, 2)},
+            )
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    params, opt_state, loss = step(params, opt_state, train_batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(loss)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(
+            params, opt_state, train_batch, jax.random.PRNGKey(i + 1)
+        )
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return batch * seq / best, best, float(loss)
 
 
 def measure_torch_baseline(seq=256, steps=64):
@@ -394,6 +444,7 @@ def main():
     parser.add_argument("--baseline", type=float, default=None)
     parser.add_argument("--render-bars", type=int, default=32)
     parser.add_argument("--skip-render", action="store_true")
+    parser.add_argument("--skip-train", action="store_true")
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -425,6 +476,19 @@ def main():
     # end-to-end render (tokenize -> encode -> scan decode -> detokenize);
     # secondary metric so round-over-round perf covers the whole pipeline,
     # never allowed to sink the primary decode metric
+    train = None
+    if not args.skip_train:
+        try:
+            train_tps, train_step_s, train_loss = measure_tpu_train(128, args.seq)
+            train = {
+                "tokens_per_sec": round(train_tps, 1),
+                "step_ms": round(train_step_s * 1e3, 1),
+                "batch": 128,
+                "loss": round(train_loss, 4),
+            }
+        except Exception as e:  # pragma: no cover - diagnostic path
+            train = {"error": f"{type(e).__name__}: {e}"}
+
     render = None
     if not args.skip_render:
         try:
@@ -451,6 +515,7 @@ def main():
                     round(live_baseline, 2) if live_baseline else None
                 ),
                 "speed_of_light": sol,
+                "train_step": train,
                 "render_32bar": render,
                 "config": {
                     "batch": args.batch,
