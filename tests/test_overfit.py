@@ -1,0 +1,131 @@
+"""End-to-end learning proof: overfit one piece, measure real improvement.
+
+`test_training` proves the loss decreases; this test proves the whole
+train → evaluate → render loop actually LEARNS the expressive targets:
+after overfitting a single synthetic performance, the MixedLM accuracy on
+the performance streams must rise far above its untrained level, and the
+trained model must render the score end-to-end.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from scoreperformer_tpu.data import (
+    LocalScorePerformanceDataset,
+    MixedLMScorePerformanceCollator,
+)
+from scoreperformer_tpu.data.synthetic import build_synthetic_dataset
+from scoreperformer_tpu.models import MODELS
+from scoreperformer_tpu.training import (
+    OptimizerConfig,
+    ScorePerformerEvaluator,
+    Trainer,
+    TrainerConfig,
+    inject_data_config,
+)
+
+pytestmark = pytest.mark.slow
+
+MAX_SEQ = 48
+
+
+def tiny_cfg():
+    emb = {
+        "_target_": "simple", "emb_dims": 16, "mode": "cat", "emb_norm": True,
+        "discrete": False, "continuous": True, "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3],
+    }
+    attn = {"dim_head": 8, "one_kv_head": True, "alibi_pos_bias": True, "alibi_learned": True}
+    ff = {"mult": 2, "glu": True, "swish": True}
+    enc = {"_target_": "encoder", "depth": 1, "heads": 2, "attention": attn, "feed_forward": ff}
+    return {
+        "dim": 48, "tie_token_emb": True, "mode": "mixlm",
+        "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                          "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                          "transformer": dict(enc)},
+        "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                         "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                         "latent_dim": [16, 8], "aggregate_mode": ["mean", "bar_mean"],
+                         "latent_dropout": [0.0, 0.0], "hierarchical": True,
+                         "max_segments": 32, "transformer": dict(enc)},
+        "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
+                                              "multiseq_mode": "post-cat"},
+                         "emb_norm": True, "use_abs_pos_emb": False,
+                         "max_seq_len": MAX_SEQ + 2,
+                         "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+                         "transformer": {"_target_": "decoder", "depth": 2, "heads": 2,
+                                         "attention": attn, "feed_forward": ff},
+                         "lm_head": {"_target_": "lm-tied"}},
+    }
+
+
+def test_overfit_one_piece_learns_performance_streams(tmp_path):
+    root = str(tmp_path / "ds")
+    build_synthetic_dataset(root, n_scores=1, n_perfs_per_score=1, n_bars=6, seed=5,
+                            with_directions=False)
+    dataset = LocalScorePerformanceDataset(
+        root=root, max_seq_len=MAX_SEQ, bar_sliding_window=8,
+        fit_to_zero_bar=True, add_sos_eos=True, preload=True,
+        sample=False, deadpan_performance=0.0,
+        auxiliary_data_keys=["bars"],
+    )
+    collator = MixedLMScorePerformanceCollator(
+        fixed_seq_len=MAX_SEQ + 2,
+        mask_ignore_token_ids=[0, 1, 2, 3],
+        mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
+    )
+    cfg = inject_data_config(tiny_cfg(), dataset)
+    model, model_config = MODELS.get("ScorePerformer")(**cfg)
+    evaluator = ScorePerformerEvaluator(
+        tokenizer=dataset.tokenizer, mode="mixlm",
+        ignore_keys=["Bar", "Position", "Pitch", "Duration", "TimeSig",
+                     "PositionShift", "NotesInOnset", "PositionInOnset"],
+        weighted_distance=True,
+    )
+    config = TrainerConfig(
+        output_dir=str(tmp_path / "run"),
+        epochs=600, batch_size=2, eval_batch_size=2,
+        log_strategy="no", eval_strategy="epoch", eval_steps=599,
+        save_strategy="no", disable_progress=True, seed=11,
+        optimization=OptimizerConfig(lr=6e-3, optimizer="adamw", grad_clip=2.0),
+    )
+    trainer = Trainer(
+        model=model, config=config, train_dataset=dataset, eval_dataset=dataset,
+        collator=collator, evaluator=evaluator, model_config=model_config,
+    )
+
+    # untrained reference accuracy (near chance)
+    trainer._prepare()
+    before = trainer.evaluate()
+    state = trainer.train()
+    evals = [l for l in state.log_history if "eval/accuracy" in l]
+    assert evals, state.log_history[-3:]
+    after = evals[-1]["eval/accuracy"]
+
+    # measured trajectory on this seed (CPU): 0.0 untrained -> 0.35 @600
+    # epochs -> 0.69 @1250 -> ~0.95 @2500+. 600 epochs keeps the test ~2 min;
+    # the bar sits well above untrained/chance but below the measured value
+    # so scheduler-level numeric drift does not flake the test.
+    assert after > 0.25, (before.get("eval/accuracy"), after)
+    assert after > 4 * max(before.get("eval/accuracy", 0.0), 0.05), (
+        before.get("eval/accuracy"), after,
+    )
+
+    # the trained weights must drive the full render pipeline
+    from scoreperformer_tpu.inference.render import render_performance
+
+    score_midi = dataset.tokenizer.score_tokens_to_midi(dataset.scores[0].copy())
+    perf_midi = render_performance(
+        model, {"params": trainer.params}, dataset.tokenizer, score_midi,
+        rng=jax.random.PRNGKey(0), greedy=True,
+    )
+    notes = perf_midi.all_notes()
+    assert len(notes) > 0
+    true_notes = dataset.tokenizer.performance_tokens_to_midi(
+        dataset.performances[0].copy()
+    ).all_notes()
+    # rendered velocities live in the learned range, not at the vocab edges
+    assert np.abs(
+        float(notes.velocity.mean()) - float(true_notes.velocity.mean())
+    ) < 25.0
