@@ -399,6 +399,10 @@ def mixedlm_unmask(
         return tokens, fresh, rng
 
     def _merge_chunk(prefix, fresh, base):
+        # NOT write_kv: the in-place Pallas DMA merge measured 537k vs 689k
+        # tok/s (BASELINE.md round 3) — the dus copies below show up in the
+        # profile (~16% of step time) but XLA overlaps them with the inner
+        # scan, while the aliased Pallas call serializes.
         return [
             {
                 "k": jax.lax.dynamic_update_slice(
@@ -729,6 +733,7 @@ def ar_generate(
             (buf, fresh, rng, done), dones_c = jax.lax.scan(
                 body, (buf, fresh, rng, done), jnp.arange(C)
             )
+            # dus, not write_kv — see mixedlm_unmask._merge_chunk
             prefix = [
                 {
                     "k": jax.lax.dynamic_update_slice(layer["k"], f["fk"], (base, 0, 0)),

@@ -26,14 +26,49 @@ def top_p(logits: jnp.ndarray, thres: float = 0.9) -> jnp.ndarray:
     return jnp.where(token_cum > thres, NEG_INF, logits)
 
 
-def top_k(logits: jnp.ndarray, thres: float = 0.9, k: Optional[int] = None) -> jnp.ndarray:
+# How the k-th-largest threshold is computed inside `top_k` (measured in the
+# flagship decode step, BASELINE.md round 3; the 5 per-stream filters were
+# ~16% of decode step time with "lax"):
+#   "approx" — jax.lax.approx_max_k, TPU's partial-reduction top-k
+#              (arXiv:2206.14286). Default, with recall_target=1.0: the
+#              reduction then keeps every candidate, so the result is EXACT
+#              (verified bit-equal to lax.top_k on the decode stream shapes,
+#              scripts/exp_post_merge.py) while keeping the kernel's speed —
+#              **+15% decode throughput** (781k vs 678k tok/s). recall<1.0
+#              is available but measured NO faster (780k at 0.95), so there
+#              is no reason to trade exactness for it.
+#   "lax"    — jax.lax.top_k. EXACT; lowers to a variadic sort carrying an
+#              s32 iota index payload the filter discards. Fallback/control.
+#   "sort"   — values-only jnp.sort. EXACT but measured ~6% SLOWER than
+#              "lax" despite dropping the index payload — XLA's top_k sort
+#              pattern gets backend treatment a generic sort does not. Kept
+#              for comparison.
+TOPK_METHOD = "approx"
+
+
+def top_k(
+    logits: jnp.ndarray,
+    thres: float = 0.9,
+    k: Optional[int] = None,
+    method: Optional[str] = None,
+    recall: float = 1.0,
+) -> jnp.ndarray:
     """Top-k filtering (sampling.py:28-33). `k` must be static under jit.
-    Uses lax.top_k (partial selection) — much cheaper than a full vocab sort
-    on TPU."""
+    Only the k-th value is needed (the filter keeps everything >= it) — the
+    threshold computation method is selectable, see TOPK_METHOD. The default
+    (approx_max_k at recall_target=1.0) is exact."""
     if k is None:
         k = math.ceil((1 - thres) * logits.shape[-1])
     k = max(1, min(int(k), logits.shape[-1]))
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    method = method or TOPK_METHOD
+    if method == "sort":
+        kth = jnp.sort(logits, axis=-1)[..., logits.shape[-1] - k][..., None]
+    elif method == "approx":
+        kth = jax.lax.approx_max_k(
+            logits, k, recall_target=recall, aggregate_to_topk=True
+        )[0][..., -1:]
+    else:
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 

@@ -97,6 +97,21 @@ class TestSampling:
         assert np.isfinite(out[0, [1, 4]]).all()
         assert np.isinf(out[0, [0, 2, 3]]).all()
 
+    def test_top_k_methods_agree(self):
+        """All threshold methods bit-match at the defaults: "lax" and "sort"
+        are exact by construction, and the default "approx" runs at
+        recall_target=1.0, where the partial reduction keeps every candidate
+        (TPU-verified in scripts/exp_post_merge.py; here the CPU lowering)."""
+        r = np.random.RandomState(3)
+        for V in (7, 128, 260):
+            lg = jnp.asarray(r.randn(32, V).astype(np.float32))
+            lg = jnp.concatenate([lg, lg[:, :3]], axis=-1)  # inject ties
+            for k in (1, 2, max(1, V // 3)):
+                a = top_k(lg, k=k, method="lax")
+                assert jnp.array_equal(a, top_k(lg, k=k, method="sort")), (V, k)
+                assert jnp.array_equal(a, top_k(lg, k=k, method="approx")), (V, k)
+                assert jnp.array_equal(a, top_k(lg, k=k)), (V, k)  # default
+
     def test_top_p_keeps_nucleus(self):
         logits = jnp.log(jnp.array([[0.5, 0.3, 0.1, 0.05, 0.05]]))
         out = np.array(top_p(logits, thres=0.7))
