@@ -41,7 +41,9 @@ def _sample_stream(rng, logits, temperature, filter_fn, filter_kwargs, greedy):
     if greedy:
         return jnp.argmax(logits, axis=-1)
     filtered = filter_fn(logits, **(filter_kwargs or {}))
-    return jax.random.categorical(rng, filtered / temperature, axis=-1)
+    if temperature != 1.0:  # static: skip the full-width divide at T=1
+        filtered = filtered / temperature
+    return jax.random.categorical(rng, filtered, axis=-1)
 
 
 def make_decode_step(model, variables):
@@ -242,7 +244,9 @@ def mixedlm_unmask(
             vals, jnp.broadcast_to(k_idx[None, :, None], (lg.shape[0], S, 1)), axis=-1
         )
         filtered = jnp.where(lg < kth, NEG_INF, lg)
-        return jax.random.categorical(step_rng, filtered / temperature, axis=-1)
+        if temperature != 1.0:
+            filtered = filtered / temperature
+        return jax.random.categorical(step_rng, filtered, axis=-1)
 
     # the pre-decode token buffer: positions > j are untouched when step j
     # runs, so `target` reads can come from this loop-invariant operand —

@@ -89,6 +89,8 @@ def filter_logits_and_sample(
 ):
     """filter → softmax(T) → categorical (sampling.py:46-59)."""
     filtered = filter_logits_fn(logits, **(filter_kwargs or {}))
+    if temperature != 1.0:  # static: skip the full-width divide at T=1
+        filtered = filtered / temperature
     if not sample:
-        return jax.nn.softmax(filtered / temperature, axis=-1)
-    return jax.random.categorical(rng, filtered / temperature, axis=-1)
+        return jax.nn.softmax(filtered, axis=-1)
+    return jax.random.categorical(rng, filtered, axis=-1)
