@@ -22,6 +22,16 @@ from flax import linen as nn
 
 from ..configs import ModuleConfig
 
+# Multi-token lookups (training / prefill, seq_len > 1) compute the fused
+# embedding lookup as one-hot @ table instead of a gather: the BACKWARD of a
+# gather is a scatter-add, which the round-3 train-step profile put at 10 ms
+# of a 130 ms device step (the single largest non-matmul item), while the
+# one-hot contraction and its transpose both run on the MXU (the same trade
+# the MMD segment aggregation already won with). Single-token decode steps
+# keep the gather: at seq_len == 1 the lookup is tiny, there is no backward,
+# and the gather path is the bit-parity-tested decode program.
+ONEHOT_LOOKUP_MIN_SEQ = 2
+
 # default per-stream embedding dims (reference embeddings.py:14-25)
 DEFAULT_EMB_DIMS = {
     "Bar": 128,
@@ -264,7 +274,14 @@ class TupleTokenEmbeddings(nn.Module):
             sizes = np.array([t.shape[0] for t in tables])
             offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]))
             fused = jnp.concatenate(tables, axis=0)
-            h = jnp.take(fused, x + offsets, axis=0)  # (..., S, d)
+            ids = x + offsets
+            seq_len = x.shape[-2] if x.ndim >= 3 else 1
+            if seq_len >= ONEHOT_LOOKUP_MIN_SEQ:
+                # one-hot matmul lookup — see ONEHOT_LOOKUP_MIN_SEQ
+                oh = jax.nn.one_hot(ids, fused.shape[0], dtype=fused.dtype)
+                h = oh @ fused  # (..., S, d)
+            else:
+                h = jnp.take(fused, ids, axis=0)  # (..., S, d)
             if self.config.mode == "cat":
                 h = h.reshape(*x.shape[:-1], -1)
             else:
