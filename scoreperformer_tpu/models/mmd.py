@@ -128,8 +128,15 @@ def mmd_loss(
     z = jax.random.normal(rng_z, (num_samples, d), dtype=flat.dtype)
 
     if flat.shape[0] > max_num_latents:
-        logits = jnp.where(w > 0, 0.0, -jnp.inf)
-        idx = jax.random.categorical(rng_sub, logits, shape=(max_num_latents,))
+        # uniform-over-valid with replacement. NOT jax.random.categorical:
+        # the logits here are only 0/-inf, and categorical materializes a
+        # (samples, N) gumbel tensor — 9.6 ms/step at the flagship config
+        # (round-3 train profile). Inverse-CDF over the valid-count cumsum
+        # draws the identical distribution with one cumsum + searchsorted.
+        cdf = jnp.cumsum((w > 0).astype(flat.dtype))
+        u = jax.random.uniform(rng_sub, (max_num_latents,), dtype=flat.dtype)
+        idx = jnp.searchsorted(cdf, u * cdf[-1], side="right")
+        idx = jnp.minimum(idx, flat.shape[0] - 1)
         y = flat[idx]
         wy = jnp.ones(max_num_latents, dtype=flat.dtype)
     else:
