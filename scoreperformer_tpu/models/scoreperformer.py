@@ -34,6 +34,14 @@ from .tuple_transformer import (
 
 IGNORE_INDEX = -100
 
+# Compute the CE numerator as a one-hot contraction instead of
+# take_along_axis when there is more than one label: the gather's backward is
+# a scatter-add, while the contraction and its transpose both run on the MXU
+# (same trade as embeddings.ONEHOT_LOOKUP_MIN_SEQ). Bit-identical: every
+# non-label one-hot entry is exactly 0.0 and x + 0.0 == x; training logits
+# are finite so there is no -inf * 0 hazard.
+ONEHOT_CE = True
+
 
 class LMModes:
     MLM = "mlm"
@@ -81,7 +89,12 @@ def lm_losses(
         nvalid = valid.sum()
         lab_c = jnp.clip(lab, 0, lg.shape[-1] - 1)
         logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, lab_c[..., None], axis=-1)[..., 0]
+        if ONEHOT_CE and lab_c.size > 1:
+            # one-hot CE contraction — see ONEHOT_CE above
+            oh = jax.nn.one_hot(lab_c, lg.shape[-1], dtype=logp.dtype)
+            nll = -(logp * oh).sum(axis=-1)
+        else:
+            nll = -jnp.take_along_axis(logp, lab_c[..., None], axis=-1)[..., 0]
         stream_loss = (nll * valid).sum() / jnp.maximum(nvalid, 1)
         has = (nvalid > 0).astype(stream_loss.dtype)
         losses[key] = stream_loss
