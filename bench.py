@@ -36,13 +36,17 @@ HEADS = 4
 DIM_HEAD = 64
 
 
-def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=260,
-                   return_train_inputs=False):
+def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=None,
+                   return_train_inputs=False, dim=DIM, emb_dim=EMB_DIM,
+                   depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
+                   enc_depth=2, mmd_depth=4, use_flash=False):
     import jax
     import jax.numpy as jnp
 
     from scoreperformer_tpu.models import MODELS
 
+    if max_segments is None:
+        max_segments = max(260, seq + 4)
     num_tokens = num_tokens or FLAGSHIP_NUM_TOKENS
     score_tokens = {
         k: v for k, v in num_tokens.items() if k not in ("RelOnsetDev", "RelPerfDuration")
@@ -50,32 +54,34 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
     if token_values is None:
         token_values = {k: np.linspace(0, 1, v).tolist() for k, v in num_tokens.items()}
     emb = {
-        "_target_": "simple", "emb_dims": EMB_DIM, "mode": "cat", "emb_norm": True,
+        "_target_": "simple", "emb_dims": emb_dim, "mode": "cat", "emb_norm": True,
         "discrete": False, "continuous": True, "continuous_dense": True,
         "discrete_ids": [0, 1, 2, 3], "token_values": token_values,
     }
-    attn = {"dim_head": DIM_HEAD, "one_kv_head": True,
-            "alibi_pos_bias": True, "alibi_learned": True}
+    attn = {"dim_head": dim_head, "one_kv_head": True,
+            "alibi_pos_bias": True, "alibi_learned": True, "use_flash": use_flash}
     ff = {"mult": 4, "glu": True, "swish": True}
     cfg = {
         "num_tokens": num_tokens, "num_score_tokens": score_tokens,
-        "dim": DIM, "tie_token_emb": True, "mode": "mixlm",
+        "dim": dim, "tie_token_emb": True, "mode": "mixlm",
         "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
                           "use_abs_pos_emb": False, "max_seq_len": seq + 2,
-                          "transformer": {"_target_": "encoder", "depth": 2, "heads": HEADS,
+                          "transformer": {"_target_": "encoder", "depth": enc_depth,
+                                          "heads": heads,
                                           "attention": attn, "feed_forward": ff}},
         "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
                          "use_abs_pos_emb": False, "max_seq_len": seq + 2,
                          "latent_dim": [32, 20, 8, 4],
                          "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
                          "hierarchical": True, "max_segments": max_segments,
-                         "transformer": {"_target_": "encoder", "depth": 4, "heads": HEADS,
+                         "transformer": {"_target_": "encoder", "depth": mmd_depth,
+                                         "heads": heads,
                                          "attention": attn, "feed_forward": ff}},
         "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
                                               "multiseq_mode": "post-cat"},
                          "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": seq + 2,
                          "context_emb_mode": "cat", "style_emb_mode": "adanorm",
-                         "transformer": {"_target_": "decoder", "depth": DEPTH, "heads": HEADS,
+                         "transformer": {"_target_": "decoder", "depth": depth, "heads": heads,
                                          "attention": attn, "feed_forward": ff},
                          "lm_head": {"_target_": "lm-tied"}},
     }
@@ -93,7 +99,7 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
         "tokens": tokens,
         "masked": masked,
         "style": jnp.zeros((batch, seq, 64), jnp.float32),
-        "context": jnp.zeros((batch, seq, DIM), jnp.float32),
+        "context": jnp.zeros((batch, seq, dim), jnp.float32),
     }
 
     import jax

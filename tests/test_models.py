@@ -248,6 +248,38 @@ class TestScorePerformer:
         # style embeddings dim = sum latent dims
         assert out.perf_encoder.embeddings.shape[-1] == 20
 
+    def test_lm_losses_onehot_path_bitmatches_gather(self):
+        # ONEHOT_CE computes the CE numerator as a one-hot contraction; it
+        # must be bit-identical to the take_along_axis gather, grads included.
+        from scoreperformer_tpu.models import scoreperformer as sp
+
+        rng = np.random.RandomState(0)
+        logits = {
+            k: jnp.asarray(rng.randn(3, 11, v).astype(np.float32) * 3)
+            for k, v in {"a": 31, "b": 130, "c": 7}.items()
+        }
+        labels = rng.randint(0, 7, (3, 11, 3))
+        labels[rng.rand(3, 11, 3) < 0.3] = -100
+        labels = jnp.asarray(labels)
+
+        def run(flag):
+            old = sp.ONEHOT_CE
+            sp.ONEHOT_CE = flag
+            try:
+                loss, streams = jax.jit(sp.lm_losses)(logits, labels)
+                grads = jax.grad(lambda lg: sp.lm_losses(lg, labels)[0])(logits)
+            finally:
+                sp.ONEHOT_CE = old
+            return loss, streams, grads
+
+        l1, s1, g1 = run(True)
+        l0, s0, g0 = run(False)
+        assert float(l1) == float(l0)
+        for k in s1:
+            assert float(s1[k]) == float(s0[k])
+        for k in g1:
+            np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g0[k]))
+
     def test_deadpan_embeddings_not_dropped(self, sp_model):
         model, variables, batch = sp_model
         out = model.apply(
