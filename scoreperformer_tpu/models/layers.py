@@ -14,6 +14,32 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Compute the GLU input projection as two half-width matmuls over slices of
+# the SAME (dim, 2*inner) kernel instead of one matmul followed by
+# jnp.split: the split's backward concatenates two activation-sized grad
+# tensors (b, t, 2*inner) per layer, while the weight-slice form assembles
+# only a (dim, 2*inner) kernel grad. Identical math and identical param
+# tree (one proj_in Dense), so checkpoints/converter are unaffected.
+GLU_TWO_DOT = True
+
+
+class _GLUProjIn(nn.Module):
+    """Drop-in for nn.Dense(2*inner) + split; same param names/init."""
+
+    features: int  # 2 * inner_dim
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init, (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        half = self.features // 2
+        h = x @ kernel[:, :half] + bias[:half]
+        gate = x @ kernel[:, half:] + bias[half:]
+        return h, gate
+
+
 class AdaptiveLayerNorm(nn.Module):
     """SALN-style conditioning: LN without affine + Linear(cond → 2*dim)
     producing per-position gamma/beta (reference modules/layers.py:31-47).
@@ -58,8 +84,11 @@ class FeedForward(nn.Module):
         act = jax.nn.silu if self.swish else jax.nn.gelu
 
         if self.glu:
-            proj = nn.Dense(inner_dim * 2, name="proj_in")(x)
-            h, gate = jnp.split(proj, 2, axis=-1)
+            if GLU_TWO_DOT:
+                h, gate = _GLUProjIn(inner_dim * 2, name="proj_in")(x)
+            else:
+                proj = nn.Dense(inner_dim * 2, name="proj_in")(x)
+                h, gate = jnp.split(proj, 2, axis=-1)
             h = h * act(gate)
         else:
             h = act(nn.Dense(inner_dim, use_bias=not self.no_bias, name="proj_in")(x))

@@ -280,6 +280,35 @@ class TestScorePerformer:
         for k in g1:
             np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g0[k]))
 
+    def test_glu_two_dot_bitmatches_split(self):
+        # GLU_TWO_DOT computes the GLU input projection as two half-kernel
+        # matmuls; params, forward, and grads must bit-match the Dense+split
+        # form (and the param tree must stay checkpoint-compatible).
+        from scoreperformer_tpu.models import layers as L
+
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 9, 32).astype(np.float32))
+        ff = L.FeedForward(dim=32, mult=4, glu=True, swish=True)
+
+        def run(flag):
+            old = L.GLU_TWO_DOT
+            L.GLU_TWO_DOT = flag
+            try:
+                variables = ff.init(jax.random.PRNGKey(0), x)
+                y = ff.apply(variables, x)
+                g = jax.grad(lambda v: ff.apply(v, x).sum())(variables)
+            finally:
+                L.GLU_TWO_DOT = old
+            return variables, y, g
+
+        v1, y1, g1 = run(True)
+        v0, y0, g0 = run(False)
+        assert jax.tree.structure(v1) == jax.tree.structure(v0)
+        for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v0)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_deadpan_embeddings_not_dropped(self, sp_model):
         model, variables, batch = sp_model
         out = model.apply(
