@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import top_k
+from ..ops.sampling import apply_temperature, top_k
 
 NEG_INF = -1e9
 
@@ -41,8 +41,7 @@ def _sample_stream(rng, logits, temperature, filter_fn, filter_kwargs, greedy):
     if greedy:
         return jnp.argmax(logits, axis=-1)
     filtered = filter_fn(logits, **(filter_kwargs or {}))
-    if temperature != 1.0:  # static: skip the full-width divide at T=1
-        filtered = filtered / temperature
+    filtered = apply_temperature(filtered, temperature)
     return jax.random.categorical(rng, filtered, axis=-1)
 
 
@@ -244,8 +243,7 @@ def mixedlm_unmask(
             vals, jnp.broadcast_to(k_idx[None, :, None], (lg.shape[0], S, 1)), axis=-1
         )
         filtered = jnp.where(lg < kth, NEG_INF, lg)
-        if temperature != 1.0:
-            filtered = filtered / temperature
+        filtered = apply_temperature(filtered, temperature)
         return jax.random.categorical(step_rng, filtered, axis=-1)
 
     # the pre-decode token buffer: positions > j are untouched when step j

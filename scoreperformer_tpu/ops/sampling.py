@@ -79,6 +79,17 @@ def top_a(logits: jnp.ndarray, min_p_pow: float = 2.0, min_p_ratio: float = 0.02
     return jnp.where(probs < limit, NEG_INF, logits)
 
 
+def apply_temperature(logits: jnp.ndarray, temperature) -> jnp.ndarray:
+    """Divide by T, statically skipping the full-width divide at T=1.
+
+    The skip only fires for a STATIC Python number; a traced temperature
+    (e.g. jitted as a server argument) always divides — `!= 1.0` on a
+    tracer is not a Python bool."""
+    if not isinstance(temperature, (int, float)) or temperature != 1.0:
+        return logits / temperature
+    return logits
+
+
 def filter_logits_and_sample(
     rng: jax.Array,
     logits: jnp.ndarray,
@@ -89,8 +100,7 @@ def filter_logits_and_sample(
 ):
     """filter → softmax(T) → categorical (sampling.py:46-59)."""
     filtered = filter_logits_fn(logits, **(filter_kwargs or {}))
-    if temperature != 1.0:  # static: skip the full-width divide at T=1
-        filtered = filtered / temperature
+    filtered = apply_temperature(filtered, temperature)
     if not sample:
         return jax.nn.softmax(filtered, axis=-1)
     return jax.random.categorical(rng, filtered, axis=-1)

@@ -136,6 +136,26 @@ class TestSampling:
         )
         assert float(probs[0, 1]) > 0.999
 
+    def test_traced_temperature_divides(self):
+        # The static T=1 divide skip must not fire for a TRACED temperature
+        # (RenderServer jits temperature as an argument): `!= 1.0` on a
+        # tracer is not a Python bool. Regression for the serve-path break.
+        from scoreperformer_tpu.ops.sampling import apply_temperature
+
+        logits = jnp.array([[0.0, 2.0, 4.0, 1.0]])
+
+        @jax.jit
+        def probs(t):
+            return jax.nn.softmax(apply_temperature(logits, t), axis=-1)
+
+        hot = probs(jnp.float32(4.0))
+        ref = jax.nn.softmax(logits / 4.0, axis=-1)
+        np.testing.assert_allclose(np.asarray(hot), np.asarray(ref), rtol=1e-6)
+        # static fast path still exact at T=1
+        np.testing.assert_array_equal(
+            np.asarray(apply_temperature(logits, 1.0)), np.asarray(logits)
+        )
+
 
 def test_batched_topk_threshold_matches_streamwise():
     """The batched-sampling kmax trick: taking kmax candidates and reading
