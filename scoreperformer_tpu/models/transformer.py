@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import ModuleConfig
+from ..parallel.mesh import shard_seq_activations
 from .attention import Attention, init_kv_cache
 from .layers import AdaptiveLayerNorm, FeedForward
 
@@ -200,7 +201,9 @@ class TransformerStack(nn.Module):
                 out = layer(x, deterministic=deterministic)
                 new_caches.append(None)
 
-            x = out + residual
+            # sequence-parallel residual stream: no-op unless the trainer
+            # installed an activation sharding (parallel.mesh docstring)
+            x = shard_seq_activations(out + residual)
 
             if not cfg.pre_norm:
                 x = self._apply_norm(norm, x, style_embeddings)

@@ -77,6 +77,67 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+# ---------------------------------------------------------------------------
+# Sequence-parallel activation sharding (Megatron-SP dataflow, GSPMD-style).
+#
+# When a model axis > 1 is in use, the tensor-parallel Dense kernels already
+# shard the matmul FLOPs — but the residual stream between blocks (layernorm,
+# residual adds, dropout) is replicated over `model`, and so are the saved
+# activations the backward pass keeps. Annotating the residual stream as
+# P(data, model, None) (sequence axis sharded over `model`) lets XLA run the
+# elementwise/LN region fully sharded and turn the TP all-reduces into
+# reduce-scatter + all-gather pairs, cutting activation memory ~model-fold.
+# The transformer stack calls `shard_seq_activations` after every residual
+# add; it is a no-op unless a sharding has been installed (trainer flag
+# `sequence_parallel`) and the activation shape divides the mesh.
+# ---------------------------------------------------------------------------
+
+_ACTIVATION_SHARDING: Optional[NamedSharding] = None
+
+
+def sequence_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, seq, dim) activations: batch over `data`, seq over `model`."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+
+def set_activation_sharding(sharding: Optional[NamedSharding]) -> None:
+    """Install (or clear, with None) the global activation sharding applied
+    by `shard_seq_activations` at trace time."""
+    global _ACTIVATION_SHARDING
+    _ACTIVATION_SHARDING = sharding
+
+
+class activation_sharding:
+    """Context manager: install a sequence-parallel activation sharding for
+    the duration of a trace (tests / ad-hoc jits)."""
+
+    def __init__(self, mesh: Mesh):
+        self.sharding = sequence_parallel_sharding(mesh)
+
+    def __enter__(self):
+        self._prev = _ACTIVATION_SHARDING
+        set_activation_sharding(self.sharding)
+        return self.sharding
+
+    def __exit__(self, *exc):
+        set_activation_sharding(self._prev)
+        return False
+
+
+def shard_seq_activations(x):
+    """Constrain a (batch, seq, dim) activation to the installed
+    sequence-parallel sharding; identity when none is installed or the
+    static shape does not divide the mesh axes."""
+    s = _ACTIVATION_SHARDING
+    if s is None or getattr(x, "ndim", 0) != 3:
+        return x
+    data_n = s.mesh.shape.get(DATA_AXIS, 1)
+    model_n = s.mesh.shape.get(MODEL_AXIS, 1)
+    if model_n <= 1 or x.shape[0] % data_n or x.shape[1] % model_n:
+        return x
+    return jax.lax.with_sharding_constraint(x, s)
+
+
 def _zero_spec(leaf, mesh: Mesh) -> P:
     """ZeRO spec for one optimizer-state buffer: shard its largest
     data-axis-divisible dimension; scalars and indivisible shapes replicate."""

@@ -98,6 +98,11 @@ class TrainerConfig(ModuleConfig):
     # ZeRO-1-style optimizer-state sharding over the data axis
     # (parallel.mesh.opt_state_shardings); parity-tested on the virtual mesh
     zero_sharding: bool = False
+    # sequence-parallel activation sharding: with mesh_model > 1, constrain
+    # the residual stream to P(data, model, None) between blocks
+    # (parallel.mesh.shard_seq_activations) — activation memory drops
+    # ~model-fold and TP all-reduces become reduce-scatter/all-gather pairs
+    sequence_parallel: bool = False
     bf16_compute: bool = False
     # activation rematerialization (jax.checkpoint) in the train step:
     # recompute the forward during backward instead of storing activations
@@ -208,6 +213,10 @@ class Trainer:
             devices=jax.devices()[: data_axis * config.mesh_model],
         )
         self._batch_sharding = batch_sharding(self.mesh)
+        if config.sequence_parallel and config.mesh_model > 1:
+            from ..parallel import sequence_parallel_sharding, set_activation_sharding
+
+            set_activation_sharding(sequence_parallel_sharding(self.mesh))
 
         self.state = TrainerState()
         self.control = TrainerControl()
@@ -548,6 +557,10 @@ class Trainer:
             # final save guarantee (reference trainer.py:203-213)
             self.save_checkpoint(name="checkpoint_last")
             self.callback_handler.on_train_end(config, self.state, self.control)
+            if config.sequence_parallel and config.mesh_model > 1:
+                from ..parallel import set_activation_sharding
+
+                set_activation_sharding(None)  # don't leak into later traces
 
         return self.state
 

@@ -294,3 +294,83 @@ class TestZeroOptStateSharding:
         # scalar count stays replicated
         assert adam_state.count.sharding.spec == P()
 
+
+
+class TestSequenceParallel:
+    """Sequence-parallel activation sharding (TrainerConfig.sequence_parallel):
+    the residual stream constrained to P(data, model, None) between blocks
+    must not change the math — loss and grads match the unconstrained run."""
+
+    def test_shard_seq_activations_applies_and_skips(self):
+        from scoreperformer_tpu.parallel import activation_sharding
+        from scoreperformer_tpu.parallel.mesh import shard_seq_activations
+
+        mesh = make_mesh(4, 2)
+        x = jnp.ones((8, 16, 12))
+
+        with activation_sharding(mesh):
+            y = jax.jit(shard_seq_activations)(x)
+            # trailing None may be normalized away by jax
+            assert tuple(y.sharding.spec)[:2] == ("data", "model"), y.sharding
+            # odd seq length does not divide the model axis -> no-op
+            z = jax.jit(shard_seq_activations)(jnp.ones((8, 15, 12)))
+            assert "model" not in str(getattr(z.sharding, "spec", ""))
+        # constraint cleared outside the context — fresh wrapper forces a
+        # retrace (the sharding is a trace-time decision; jit caches by
+        # function identity + shape, so the earlier compiled program
+        # legitimately keeps its constraint)
+        w = jax.jit(lambda t: shard_seq_activations(t))(x)
+        assert "model" not in str(getattr(w.sharding, "spec", ""))
+
+    def test_sequence_parallel_loss_and_grads_match(self):
+        import importlib.util
+
+        from scoreperformer_tpu.parallel import activation_sharding
+
+        spec = importlib.util.spec_from_file_location("tm", "tests/test_models.py")
+        tm = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tm)
+
+        cfg = tm.build_scoreperformer_config(tm.model_config())
+        model = tm.ScorePerformerModel(config=cfg)
+        batch = tm.make_batch(b=8, t=16, seed=11)
+
+        kwargs = dict(
+            perf_mask=batch["mask"], score=batch["score"], score_mask=batch["mask"],
+            masked_perf=batch["masked_perf"], labels=batch["labels"],
+            bars=batch["bars"], beats=batch["beats"], onsets=batch["onsets"],
+            directions=batch["directions"], deadpan_mask=batch["deadpan"],
+        )
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+        variables = model.init(rngs, batch["perf"], deterministic=True, **kwargs)
+
+        def loss_fn(params, perf, kw):
+            out = model.apply({"params": params}, perf, **kw, deterministic=True,
+                              rngs={"mmd": jax.random.PRNGKey(3)})
+            return out.loss
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        loss_ref, grads_ref = jax.jit(grad_fn)(variables["params"], batch["perf"], kwargs)
+
+        mesh = make_mesh(4, 2)
+        params = shard_params(variables["params"], mesh)
+        bs = batch_sharding(mesh)
+        perf = jax.device_put(batch["perf"], bs)
+        kw_sharded = {
+            k: (jax.device_put(v, bs)
+                if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == 8 else v)
+            for k, v in kwargs.items()
+        }
+        with activation_sharding(mesh):
+            loss_sp, grads_sp = jax.jit(grad_fn)(params, perf, kw_sharded)
+
+        np.testing.assert_allclose(float(loss_ref), float(loss_sp), rtol=2e-5)
+        gn = jax.jit(lambda g: optax_global_norm(g))
+        np.testing.assert_allclose(
+            float(gn(grads_ref)), float(gn(grads_sp)), rtol=2e-4
+        )
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
