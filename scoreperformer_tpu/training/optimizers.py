@@ -26,6 +26,12 @@ class OptimizerConfig(ModuleConfig):
     grad_clip: Optional[float] = None
     grad_accum_steps: int = 1
     mixed_precision: bool = False
+    # run the whole update (clip, moments, finite guard, accumulation) on one
+    # raveled parameter vector instead of per-leaf (optax.flatten). Measured
+    # NEGATIVE at flagship scale — the per-step ravel/unravel copies cost more
+    # than the tiny-op tail they remove (101 vs 95 ms/step, BASELINE.md
+    # round 3) — kept for experimentation only
+    flat_updates: bool = False
 
 
 _OPTIMIZERS = {
@@ -85,5 +91,10 @@ def build_optimizer(
 
     if config.grad_accum_steps and config.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
+
+    if config.flat_updates:
+        # flatten OUTSIDE accumulation/guard so the accumulator buffers and
+        # isfinite checks are single vector ops too
+        tx = optax.flatten(tx)
 
     return tx

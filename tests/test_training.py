@@ -214,6 +214,45 @@ class TestTrainer:
 
         np.testing.assert_allclose(np.array(p["w"]), np.array(p_ref["w"]), rtol=1e-6)
 
+    def test_flat_updates_equivalence(self):
+        """flat_updates=True (optax.flatten over the whole chain) applies the
+        same updates as the per-leaf path — incl. global-norm clip, adamw
+        weight decay, accumulation, and the non-finite skip."""
+        import jax.numpy as jnp
+
+        from scoreperformer_tpu.training.optimizers import (
+            OptimizerConfig, build_optimizer,
+        )
+
+        params = {
+            "a": {"kernel": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7,
+                  "bias": jnp.array([0.3, -0.1, 2.0])},
+            "b": jnp.array([[1.5]]),
+        }
+        rng = np.random.RandomState(0)
+        grads = [
+            jax.tree.map(lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+            for _ in range(4)
+        ]
+        # one non-finite micro-batch: both paths must skip it identically
+        grads.insert(2, jax.tree.map(lambda p: jnp.full(p.shape, jnp.nan), params))
+
+        cfg = dict(lr=1e-2, optimizer="adamw", grad_clip=1.0, grad_accum_steps=2,
+                   optimizer_params={"weight_decay": 0.01})
+
+        def run(flat):
+            tx = build_optimizer(OptimizerConfig(**cfg, flat_updates=flat), 10)
+            state = tx.init(params)
+            p = params
+            for g in grads:
+                upd, state = tx.update(g, state, p)
+                p = jax.tree.map(lambda x, u: x + u, p, upd)
+            return p
+
+        p_leaf, p_flat = run(False), run(True)
+        for a, b in zip(jax.tree.leaves(p_leaf), jax.tree.leaves(p_flat)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-6)
+
     def test_sigterm_preemption_saves_last_checkpoint(self, setup, tmp_path):
         """SIGTERM mid-training drains gracefully and writes checkpoint_last."""
         import os
