@@ -564,6 +564,17 @@ class TestWrappers:
         )
         np.testing.assert_array_equal(static, classic)
 
+        # unrolled outer loop WITHOUT prefix slicing (in-place-merge variant),
+        # incl. a chunk size that does not divide the step count
+        for chunk in (8, 5):
+            unrolled = np.array(
+                mixedlm_unmask(
+                    model, variables, tokens, batch["masked_perf"],
+                    chunk_size=chunk, unrolled_chunks=True, **kwargs,
+                )
+            )
+            np.testing.assert_array_equal(unrolled, classic, err_msg=f"chunk={chunk}")
+
         # chunked token rows (small (C+1, b, S) carried row buffer), incl. a
         # padded tail chunk — regression guard for the padded-tail rewrite,
         # which must read back the CURRENT last token, not the pre-decode one
