@@ -20,6 +20,45 @@ from .layers import ALiBiPositionalBias
 
 MASK_VALUE = -1e9
 
+# Backward of the ALiBi bias add (`dots + bias[None]`): the grad wrt the
+# batch-shared (h, n, j) bias is a sum of the (b, h, n, j) grad over batch.
+# XLA emits it as a VPU reduce_sum that the round-3 profile attributes
+# 5.9 ms of the 90.8 ms flagship train step (~230 GB/s — the largest
+# non-matmul item). With this flag the same sum runs as an MXU dot_general
+# against a ones vector (the trade that paid for the one-hot embedding/CE
+# rewires) — but MEASURED NEGATIVE end-to-end: 95.5/97.4 ms vs 94.7/94.7
+# control (scripts/exp_alibi_dbias.py). The profile's reduce is evidently
+# overlapped with neighboring matmuls, and the custom_vjp boundary costs
+# XLA the fusion of the pass-through d(dots). Default off; kept with its
+# parity test as the measured record.
+ALIBI_DBIAS_DOT = False
+
+
+@jax.custom_vjp
+def _bias_add(dots: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    return dots + bias[None]
+
+
+def _bias_add_fwd(dots, bias):
+    return dots + bias[None], None
+
+
+def _bias_add_bwd(_, g):
+    ones = jnp.ones((g.shape[0],), g.dtype)
+    dbias = jax.lax.dot_general(ones, g, (((0,), (0,)), ((), ())))
+    return g, dbias
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
+def add_alibi_bias(dots: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """dots (b, h, n, j) + bias (h, n, j), with the d(bias) rewire above."""
+    bias = bias.astype(dots.dtype)
+    if ALIBI_DBIAS_DOT:
+        return _bias_add(dots, bias)
+    return dots + bias[None]
+
 
 def init_kv_cache(
     batch: int, max_len: int, kv_dim: int, dtype=jnp.float32
@@ -278,7 +317,7 @@ class Attention(nn.Module):
         # --- additive bias: ALiBi ---
         if self.rel_pos is not None:
             bias = self.rel_pos(n, j, pos_i=pos_q, pos_j=key_pos)  # (h, n, j)
-            dots = dots + bias[None].astype(dots.dtype)
+            dots = add_alibi_bias(dots, bias)
 
         # --- masks (composed as in attention.py:160-186) ---
         neg = jnp.asarray(MASK_VALUE, dots.dtype)

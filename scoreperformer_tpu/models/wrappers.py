@@ -151,6 +151,7 @@ def mixedlm_unmask(
     static_prefix: bool = False,
     chunk_tokens: bool = False,
     unrolled_chunks: bool = False,
+    capacity_stages: int = 1,
 ) -> jnp.ndarray:
     """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
 
@@ -454,6 +455,45 @@ def mixedlm_unmask(
             base = c * C
             tokens, fresh, rng = run(tokens, prefix, rng, base)
             return (tokens, _merge_chunk(prefix, fresh, base), rng), None
+
+        if capacity_stages and int(capacity_stages) > 1:
+            # Staged-capacity variant: G sequential outer scans where stage
+            # g's prefix buffers only span the rows written by its chunks —
+            # step j's masked prefix attend reads (and the per-chunk merge's
+            # defensive copy of the carried prefix) shrink proportionally in
+            # early stages (average read factor (G+1)/2G vs 1.0). Unlike
+            # `static_prefix` (per-chunk slicing, measured negative), the
+            # dynamic scan's cross-chunk pipelining survives within each
+            # stage; only G-1 stage boundaries pay a program transition plus
+            # one embed-copy of the smaller caches into the larger buffers.
+            G = int(capacity_stages)
+            bounds = sorted({(g * n_chunks) // G for g in range(G + 1)})
+            prefix = None
+            for c0, c1 in zip(bounds[:-1], bounds[1:]):
+                stage = model.apply(
+                    variables, b, c1 * C,
+                    method=lambda m, bb, tt: m.init_decoder_cache(
+                        bb, tt, dtype=cache_dtype
+                    ),
+                )
+                if prefix is not None:
+                    stage = [
+                        {
+                            "k": jax.lax.dynamic_update_slice(
+                                sl["k"], pl["k"], (0, 0, 0)
+                            ),
+                            "v": jax.lax.dynamic_update_slice(
+                                sl["v"], pl["v"], (0, 0, 0)
+                            ),
+                        }
+                        if sl is not None
+                        else None
+                        for sl, pl in zip(stage, prefix)
+                    ]
+                (tokens, prefix, rng), _ = jax.lax.scan(
+                    chunk_body, (tokens, stage, rng), jnp.arange(c0, c1)
+                )
+            return tokens[:, :T]
 
         (tokens, _, _), _ = jax.lax.scan(
             chunk_body, (tokens, caches, rng), jnp.arange(n_chunks)

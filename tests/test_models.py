@@ -309,6 +309,36 @@ class TestScorePerformer:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_alibi_dbias_dot_matches_reduce(self):
+        # ALIBI_DBIAS_DOT computes d(bias) of the broadcast add as a
+        # dot_general against a ones vector instead of a reduce_sum over
+        # batch. Forward and d(dots) must bit-match; d(bias) sums the same
+        # terms in a different (contraction) order, so it is compared to
+        # float tolerance — the same reassociation class as the one-hot
+        # lookup backward.
+        from scoreperformer_tpu.models import attention as A
+
+        rng = np.random.RandomState(0)
+        dots = jnp.asarray(rng.randn(6, 4, 9, 9).astype(np.float32))
+        bias = jnp.asarray(rng.randn(4, 9, 9).astype(np.float32))
+        cot = jnp.asarray(rng.randn(6, 4, 9, 9).astype(np.float32))
+
+        def run(flag):
+            old = A.ALIBI_DBIAS_DOT
+            A.ALIBI_DBIAS_DOT = flag
+            try:
+                y, vjp = jax.vjp(A.add_alibi_bias, dots, bias)
+                dd, db = vjp(cot)
+            finally:
+                A.ALIBI_DBIAS_DOT = old
+            return y, dd, db
+
+        y1, dd1, db1 = run(True)
+        y0, dd0, db0 = run(False)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+        np.testing.assert_array_equal(np.asarray(dd1), np.asarray(dd0))
+        np.testing.assert_allclose(np.asarray(db1), np.asarray(db0), rtol=2e-6, atol=2e-6)
+
     def test_deadpan_embeddings_not_dropped(self, sp_model):
         model, variables, batch = sp_model
         out = model.apply(
@@ -574,6 +604,20 @@ class TestWrappers:
                 )
             )
             np.testing.assert_array_equal(unrolled, classic, err_msg=f"chunk={chunk}")
+
+        # staged-capacity variant: G sequential outer scans over growing
+        # prefix buffers, incl. a stage count that does not divide the chunk
+        # count and a non-dividing chunk size
+        for chunk, stages in ((8, 2), (5, 3)):
+            staged = np.array(
+                mixedlm_unmask(
+                    model, variables, tokens, batch["masked_perf"],
+                    chunk_size=chunk, capacity_stages=stages, **kwargs,
+                )
+            )
+            np.testing.assert_array_equal(
+                staged, classic, err_msg=f"chunk={chunk} stages={stages}"
+            )
 
         # chunked token rows (small (C+1, b, S) carried row buffer), incl. a
         # padded tail chunk — regression guard for the padded-tail rewrite,
