@@ -161,7 +161,10 @@ def mixedlm_unmask(
 
     `cache_dtype=jnp.bfloat16` halves KV traffic but measured SLOWER than
     fp32 at the default chunk size (625k vs 679k tok/s at C=16; it only
-    helped the larger C=32 chunks) — fp32 stays the default.
+    helped the larger C=32 chunks) — fp32 stays the default. The crossover
+    is cache size: at dim 1024 / dim_head 128 (1.07 GB of fp32 caches)
+    bf16 caches measured +18% (scripts/exp_scale_decode.py) — set it for
+    serving configs at dim >= 1024.
 
     `chunk_size` selects the chunked-carry decode: a two-level scan whose
     inner level carries only (chunk_size, b, kv) fresh-KV buffers while the
