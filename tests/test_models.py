@@ -619,6 +619,53 @@ class TestWrappers:
                 staged, classic, err_msg=f"chunk={chunk} stages={stages}"
             )
 
+    def test_mixedlm_unmask_valid_len_semantics(self, sp_model):
+        """Per-row valid_len (the render server's padded-bucket contract):
+        positions >= valid_len stay untouched, and the decoded prefix of a
+        padded row bit-matches decoding the truncated sequence — the extra
+        padded steps run but are causally invisible to the real positions."""
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        v = 9
+        out = np.array(
+            mixedlm_unmask(
+                model, variables, tokens, batch["masked_perf"],
+                rng=jax.random.PRNGKey(0),
+                style_embeddings=jnp.zeros((2, 16, 20)),
+                context=jnp.zeros((2, 16, 32)),
+                greedy=True,
+                valid_len=jnp.array([16, v], dtype=jnp.int32),
+            )
+        )
+        np.testing.assert_array_equal(out[1, v:], np.array(tokens)[1, v:])
+        short = np.array(
+            mixedlm_unmask(
+                model, variables, tokens[:, :v], batch["masked_perf"][:, :v],
+                rng=jax.random.PRNGKey(0),
+                style_embeddings=jnp.zeros((2, v, 20)),
+                context=jnp.zeros((2, v, 32)),
+                greedy=True,
+            )
+        )
+        np.testing.assert_array_equal(out[1, :v], short[1])
+
+    def test_mixedlm_unmask_chunked_row_and_mixed_variants(self, sp_model):
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+            greedy=True,
+        )
+        classic = np.array(
+            mixedlm_unmask(model, variables, tokens, batch["masked_perf"], **kwargs)
+        )
+
         # chunked token rows (small (C+1, b, S) carried row buffer), incl. a
         # padded tail chunk — regression guard for the padded-tail rewrite,
         # which must read back the CURRENT last token, not the pre-decode one
