@@ -44,7 +44,14 @@ class RenderServer:
         tokenizer_path: Optional[str] = None,
         bucket: int = 128,
         max_len: int = 2048,
+        cache_dtype: str = "fp32",
+        chunk_size: int = 16,
     ):
+        """`cache_dtype`: decoder KV-cache precision, "fp32" (default —
+        bit-stable, fastest at flagship size) or "bf16" (measured +18%
+        decode throughput once caches reach ~1 GB, i.e. serving configs at
+        dim >= 1024 — scripts/exp_scale_decode.py / BASELINE.md round 3).
+        `chunk_size`: chunked-carry decode chunk (16 is the measured knee)."""
         self.model, self.variables, self.model_cfg = load_model_from_checkpoint(checkpoint)
         if tokenizer_path is None:
             tokenizer_path = os.path.join(checkpoint, "tokenizer.json")
@@ -58,6 +65,8 @@ class RenderServer:
         self.stats = {"requests": 0, "errors": 0, "buckets": set()}
 
         model = self.model
+        kv_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[cache_dtype]
+        chunk = int(chunk_size)
 
         # total style latent dim, known from the config (so style_delta can be
         # validated without waiting on device outputs)
@@ -83,6 +92,7 @@ class RenderServer:
                 model, variables, tokens_in, masked_all, rng=rng,
                 style_embeddings=style, context=score_emb, valid_len=valid_len,
                 temperature=temperature, filter_fn=top_k, greedy=greedy,
+                cache_dtype=kv_dtype, chunk_size=chunk,
             )
 
         self._render_step = jax.jit(render_step, static_argnames=("greedy",))

@@ -40,6 +40,13 @@ def main():
              "variants with --warmup-greedy)",
     )
     parser.add_argument("--warmup-greedy", action="store_true")
+    parser.add_argument(
+        "--cache-dtype", choices=("fp32", "bf16"), default="fp32",
+        help="decoder KV-cache precision: fp32 (bit-stable, fastest at "
+             "flagship size) or bf16 (measured +18%% decode once caches "
+             "reach ~1 GB — serving configs at dim >= 1024)",
+    )
+    parser.add_argument("--chunk-size", type=int, default=16)
     args = parser.parse_args()
 
     import os
@@ -62,6 +69,7 @@ def main():
     server = RenderServer(
         args.checkpoint, tokenizer_path=args.tokenizer,
         bucket=args.bucket, max_len=args.max_len,
+        cache_dtype=args.cache_dtype, chunk_size=args.chunk_size,
     )
     if args.warmup:
         lengths = [int(x) for x in args.warmup.split(",") if x.strip()]

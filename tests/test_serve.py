@@ -102,6 +102,20 @@ class TestRenderServer:
         after = server.handle_request({"id": 6, "cmd": "ping"})
         assert after["ok"] and after["requests"] == 3
 
+    def test_bf16_cache_server_renders(self, checkpoint, tmp_path):
+        # the big-cache serving config (BASELINE.md: bf16 KV caches measured
+        # +18% at >= 1 GB) must produce a valid render end-to-end
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512,
+                              cache_dtype="bf16", chunk_size=8)
+        score = synthetic_score(np.random.RandomState(5), n_bars=5)
+        path = str(tmp_path / "bf16.mid")
+        write_midi(score, path)
+        r = server.handle_request({"id": 1, "score": path, "greedy": True})
+        assert r["ok"], r
+        assert r["notes"] > 0
+
     def test_warmup_precompiles_buckets(self, checkpoint, tmp_path):
         from scoreperformer_tpu.inference import RenderServer
 
