@@ -10,7 +10,13 @@ from .callbacks import (
     TrainerControl,
     TrainerState,
 )
-from .checkpoint import freeze_mask, load_checkpoint, save_checkpoint, warm_start_params
+from .checkpoint import (
+    freeze_mask,
+    load_checkpoint,
+    save_checkpoint,
+    wait_for_async_saves,
+    warm_start_params,
+)
 from .components import ExperimentComponents, inject_data_config
 from .evaluator import EVALUATORS, ScorePerformerEvaluator
 from .optimizers import OptimizerConfig, build_lr_schedule, build_optimizer

@@ -18,6 +18,22 @@ import orbax.checkpoint as ocp
 from ..utils import dump_json, load_json
 
 
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     directory: str,
     params,
@@ -25,16 +41,32 @@ def save_checkpoint(
     trainer_state: Optional[Dict] = None,
     model_config: Optional[Dict] = None,
     extra_meta: Optional[Dict] = None,
+    use_async: bool = False,
 ) -> str:
+    """With `use_async`, arrays are fetched to host synchronously (so the
+    caller may keep donating/mutating device buffers) but the disk commit runs
+    on orbax's background thread — the train loop resumes immediately. Any
+    previous in-flight save is awaited first so repeated saves into the same
+    rewritten directory (e.g. checkpoint_last) cannot race their own cleanup.
+    Call `wait_for_async_saves()` (the Trainer does, in its final-save path)
+    before reading a just-written checkpoint or exiting the process."""
     directory = os.path.abspath(directory)
+    if use_async:
+        wait_for_async_saves()
     if os.path.exists(directory):
         shutil.rmtree(directory)
     os.makedirs(directory, exist_ok=True)
 
-    with ocp.PyTreeCheckpointer() as ckptr:
+    if use_async:
+        ckptr = _async_checkpointer()
         ckptr.save(os.path.join(directory, "params"), jax.device_get(params))
         if opt_state is not None:
             ckptr.save(os.path.join(directory, "opt_state"), jax.device_get(opt_state))
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.join(directory, "params"), jax.device_get(params))
+            if opt_state is not None:
+                ckptr.save(os.path.join(directory, "opt_state"), jax.device_get(opt_state))
 
     meta: Dict[str, Any] = {}
     if trainer_state is not None:
@@ -51,6 +83,7 @@ def load_checkpoint(
     directory: str, params_template=None, opt_state_template=None
 ) -> Dict[str, Any]:
     directory = os.path.abspath(directory)
+    wait_for_async_saves()  # never read a checkpoint mid-commit
     out: Dict[str, Any] = {}
     with ocp.PyTreeCheckpointer() as ckptr:
         params_path = os.path.join(directory, "params")

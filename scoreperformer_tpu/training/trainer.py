@@ -110,6 +110,11 @@ class TrainerConfig(ModuleConfig):
     # TensorBoard event files in {output_dir}/tb via the self-contained
     # writer (training/tensorboard.py; reference integrations.py:14-55)
     tensorboard: bool = True
+    # async checkpointing: arrays are fetched to host synchronously but the
+    # disk commit runs on orbax's background thread, so periodic/best saves
+    # leave the train loop immediately; the final save path waits for all
+    # in-flight commits before returning (checkpoint.wait_for_async_saves)
+    async_checkpoint: bool = False
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY §5 sanitizers)
     # jax.profiler trace of [profile_start_step, +profile_num_steps) steps
     profile_dir: Optional[str] = None
@@ -554,8 +559,13 @@ class Trainer:
 
             for sig, handler in prev_handlers.items():
                 _signal.signal(sig, handler)
-            # final save guarantee (reference trainer.py:203-213)
+            # final save guarantee (reference trainer.py:203-213); with async
+            # checkpointing, block until every queued commit is on disk
             self.save_checkpoint(name="checkpoint_last")
+            if self.config.async_checkpoint:
+                from .checkpoint import wait_for_async_saves
+
+                wait_for_async_saves()
             self.callback_handler.on_train_end(config, self.state, self.control)
             if config.sequence_parallel and config.mesh_model > 1:
                 from ..parallel import set_activation_sharding
@@ -644,6 +654,7 @@ class Trainer:
             path,
             self.params,
             opt_state=self.opt_state if self.config.save_optimizer else None,
+            use_async=self.config.async_checkpoint,
             trainer_state={
                 "epoch": self.state.epoch,
                 "global_step": self.state.global_step,

@@ -73,3 +73,33 @@ def test_plots_render_without_display(tmp_path):
     fig, ax = plot_pianoroll(score)
     fig.savefig(tmp_path / "roll.png")
     assert (tmp_path / "roll.png").stat().st_size > 0
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async saves commit on a background thread; wait_for_async_saves (and
+    load_checkpoint, which calls it) must see the full payload. Repeated async
+    saves into the same rewritten directory must not race their own cleanup."""
+    from scoreperformer_tpu.training import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_async_saves,
+    )
+
+    params = {"w": np.arange(12.0).reshape(3, 4), "b": {"x": np.ones(5)}}
+    opt_state = {"mu": np.full((3, 4), 0.25)}
+    path = str(tmp_path / "ck_async")
+
+    save_checkpoint(path, params, opt_state=opt_state,
+                    trainer_state={"global_step": 7}, use_async=True)
+    # overwrite the same directory immediately — exercises the wait-then-rmtree
+    params2 = jax.tree.map(lambda x: x * 2.0, params)
+    save_checkpoint(path, params2, opt_state=opt_state,
+                    trainer_state={"global_step": 8}, use_async=True)
+    wait_for_async_saves()
+
+    loaded = load_checkpoint(path)
+    assert loaded["trainer_state"]["global_step"] == 8
+    for a, b in zip(jax.tree.leaves(params2), jax.tree.leaves(loaded["params"])):
+        assert np.allclose(a, b)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(loaded["opt_state"])):
+        assert np.allclose(a, b)
