@@ -48,9 +48,11 @@ class RenderServer:
         chunk_size: int = 16,
     ):
         """`cache_dtype`: decoder KV-cache precision, "fp32" (default —
-        bit-stable, fastest at flagship size) or "bf16" (measured +18%
+        bit-stable, fastest at flagship size), "bf16" (measured +18%
         decode throughput once caches reach ~1 GB, i.e. serving configs at
-        dim >= 1024 — scripts/exp_scale_decode.py / BASELINE.md round 3).
+        dim >= 1024 — scripts/exp_scale_decode.py / BASELINE.md round 3),
+        or "int8" (quantized prefix, per-row scales — 4x smaller prefix
+        reads; trajectories are not bit-stable vs fp32).
         `chunk_size`: chunked-carry decode chunk (16 is the measured knee)."""
         self.model, self.variables, self.model_cfg = load_model_from_checkpoint(checkpoint)
         if tokenizer_path is None:
@@ -65,7 +67,7 @@ class RenderServer:
         self.stats = {"requests": 0, "errors": 0, "buckets": set()}
 
         model = self.model
-        kv_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[cache_dtype]
+        kv_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[cache_dtype]
         chunk = int(chunk_size)
 
         # total style latent dim, known from the config (so style_delta can be

@@ -69,10 +69,36 @@ def init_kv_cache(
     are then contiguous rows, served by the in-place Pallas DMA on TPU
     (ops/kv_cache.py) instead of a full-buffer-copying dynamic_update_slice.
     """
+    if jnp.dtype(dtype) == jnp.int8:
+        # Quantized prefix cache: int8 rows + one fp32 scale per (position,
+        # batch) row. Reads drop 4x vs fp32; the scales fold algebraically
+        # into the attend (dots *= k_s on the key side, probs *= v_s before
+        # the value dot), so dequantization never materializes an fp32 copy
+        # of the buffers. Only the chunked decode path consumes this layout
+        # (fresh carried buffers stay fp32; quantization happens once per
+        # chunk at the merge).
+        return {
+            "k": jnp.zeros((max_len, batch, kv_dim), jnp.int8),
+            "k_s": jnp.zeros((max_len, batch), jnp.float32),
+            "v": jnp.zeros((max_len, batch, kv_dim), jnp.int8),
+            "v_s": jnp.zeros((max_len, batch), jnp.float32),
+        }
     return {
         "k": jnp.zeros((max_len, batch, kv_dim), dtype),
         "v": jnp.zeros((max_len, batch, kv_dim), dtype),
     }
+
+
+def quantize_kv_rows(x: jnp.ndarray, eps: float = 1e-8):
+    """Symmetric per-row int8 quantization of (..., kv_dim) rows.
+
+    Returns (q, scale) with q = round(x / scale) in [-127, 127] and
+    scale = max|row| / 127 — dequantization is q * scale[..., None].
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 class Attention(nn.Module):
@@ -159,19 +185,23 @@ class Attention(nn.Module):
             [jnp.arange(cap) < base, jnp.ones(chunk, dtype=bool)]
         )
 
+        # int8-quantized prefix: k_s/v_s are per-(position, batch) row scales
+        # (init_kv_cache). Dequantization folds into the attend — the key
+        # scale multiplies the prefix dots columns, the value scale folds
+        # into the probs before the value dot — so only int8 bytes ever
+        # stream from HBM for the big prefix buffers.
+        k_s = cache.get("k_s") if isinstance(cache, dict) else None
+        v_s = cache.get("v_s") if isinstance(cache, dict) else None
+
         if self.one_kv_head:
-            dots = jnp.concatenate(
-                [jnp.einsum("bhid,jbd->bhij", q, pk), jnp.einsum("bhid,jbd->bhij", q, fk)],
-                axis=-1,
-            ) * scale
+            dots_p = jnp.einsum("bhid,jbd->bhij", q, pk.astype(q.dtype))
+            dots_f = jnp.einsum("bhid,jbd->bhij", q, fk)
         else:
-            dots = jnp.concatenate(
-                [
-                    jnp.einsum("bhid,jbhd->bhij", q, pk.reshape(cap, b, h, d)),
-                    jnp.einsum("bhid,jbhd->bhij", q, fk.reshape(chunk, b, h, d)),
-                ],
-                axis=-1,
-            ) * scale
+            dots_p = jnp.einsum("bhid,jbhd->bhij", q, pk.reshape(cap, b, h, d).astype(q.dtype))
+            dots_f = jnp.einsum("bhid,jbhd->bhij", q, fk.reshape(chunk, b, h, d))
+        if k_s is not None:
+            dots_p = dots_p * k_s.T[:, None, None, :]
+        dots = jnp.concatenate([dots_p, dots_f], axis=-1) * scale
 
         neg = jnp.asarray(MASK_VALUE, dots.dtype)
         if self.rel_pos is not None:
@@ -196,13 +226,16 @@ class Attention(nn.Module):
 
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(dots.dtype)
 
+        attn_p = attn[..., :cap]
+        if v_s is not None:
+            attn_p = attn_p * v_s.T[:, None, None, :]
         if self.one_kv_head:
-            out = jnp.einsum("bhij,jbd->bhid", attn[..., :cap], pv) + jnp.einsum(
+            out = jnp.einsum("bhij,jbd->bhid", attn_p, pv.astype(attn.dtype)) + jnp.einsum(
                 "bhij,jbd->bhid", attn[..., cap:], fv
             )
         else:
             out = jnp.einsum(
-                "bhij,jbhd->bhid", attn[..., :cap], pv.reshape(cap, b, h, d)
+                "bhij,jbhd->bhid", attn_p, pv.reshape(cap, b, h, d).astype(attn.dtype)
             ) + jnp.einsum("bhij,jbhd->bhid", attn[..., cap:], fv.reshape(chunk, b, h, d))
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return self.to_out(out), {"fk": fk, "fv": fv}

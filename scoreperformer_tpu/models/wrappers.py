@@ -166,6 +166,13 @@ def mixedlm_unmask(
     bf16 caches measured +18% (scripts/exp_scale_decode.py) — set it for
     serving configs at dim >= 1024.
 
+    `cache_dtype=jnp.int8` stores the prefix quantized (symmetric per-row
+    scales, attention.quantize_kv_rows) — prefix reads drop 4x vs fp32. The
+    fresh carried buffers stay fp32; quantization happens once per chunk at
+    the merge, and dequantization folds into the attend scales, so no fp32
+    copy of the prefix is ever materialized. Trajectories are NOT
+    bit-stable vs fp32 (quantization error); requires the chunked path.
+
     `chunk_size` selects the chunked-carry decode: a two-level scan whose
     inner level carries only (chunk_size, b, kv) fresh-KV buffers while the
     big prefix caches stay loop-invariant, cutting the per-step defensive
@@ -179,6 +186,11 @@ def mixedlm_unmask(
     import math
 
     b, T, S = tokens.shape
+    if jnp.dtype(cache_dtype) == jnp.int8:
+        assert chunk_size is not None, (
+            "int8 caches require the chunked decode (the classic scan writes "
+            "unquantized rows per step; quantization lives in the chunk merge)"
+        )
     decode_step = make_decode_step(model, variables)
     lm_head = make_lm_head(model, variables)
 
@@ -330,8 +342,15 @@ def mixedlm_unmask(
     # mixed-precision option: the fresh carried buffers may use a different
     # dtype than the big read-dominated prefix (e.g. bf16 prefix halves the
     # attend reads while fp32 fresh keeps full precision in the carry); the
-    # chunk merge casts fresh -> prefix dtype
+    # chunk merge casts fresh -> prefix dtype. With an int8 (quantized)
+    # prefix the fresh buffers stay fp32 — quantization happens only at the
+    # per-chunk merge (see _merge_one).
     f_dtype = fresh_dtype
+
+    def _fresh_dtype(layer):
+        if f_dtype is not None:
+            return f_dtype
+        return jnp.float32 if layer["k"].dtype == jnp.int8 else layer["k"].dtype
 
     def _run_chunk(tokens, prefix_view, rng, base):
         """Inner scan of C steps over one chunk: carries only the fresh
@@ -339,8 +358,8 @@ def mixedlm_unmask(
         (tokens, fresh, rng)."""
         fresh = [
             {
-                "fk": jnp.zeros((C,) + layer["k"].shape[1:], f_dtype or layer["k"].dtype),
-                "fv": jnp.zeros((C,) + layer["v"].shape[1:], f_dtype or layer["v"].dtype),
+                "fk": jnp.zeros((C,) + layer["k"].shape[1:], _fresh_dtype(layer)),
+                "fv": jnp.zeros((C,) + layer["v"].shape[1:], _fresh_dtype(layer)),
             }
             if layer is not None
             else None
@@ -371,8 +390,8 @@ def mixedlm_unmask(
         shrink-the-carry move as the fresh-KV buffers."""
         fresh = [
             {
-                "fk": jnp.zeros((C,) + layer["k"].shape[1:], f_dtype or layer["k"].dtype),
-                "fv": jnp.zeros((C,) + layer["v"].shape[1:], f_dtype or layer["v"].dtype),
+                "fk": jnp.zeros((C,) + layer["k"].shape[1:], _fresh_dtype(layer)),
+                "fv": jnp.zeros((C,) + layer["v"].shape[1:], _fresh_dtype(layer)),
             }
             if layer is not None
             else None
@@ -405,22 +424,37 @@ def mixedlm_unmask(
         )
         return tokens, fresh, rng
 
-    def _merge_chunk(prefix, fresh, base):
+    def _merge_one(layer, f, base):
         # NOT write_kv: the in-place Pallas DMA merge measured 537k vs 689k
         # tok/s (BASELINE.md round 3) — the dus copies below show up in the
         # profile (~16% of step time) but XLA overlaps them with the inner
         # scan, while the aliased Pallas call serializes.
-        return [
-            {
-                "k": jax.lax.dynamic_update_slice(
-                    layer["k"], f["fk"].astype(layer["k"].dtype), (base, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    layer["v"], f["fv"].astype(layer["v"].dtype), (base, 0, 0)
-                ),
+        if "k_s" in layer:
+            # int8 prefix: quantize the chunk's fp32 fresh rows ONCE here
+            # (reads dominate; the write-side quantize is per chunk, not per
+            # step) and land rows + per-row scales together
+            from .attention import quantize_kv_rows
+
+            qk, sk = quantize_kv_rows(f["fk"].astype(jnp.float32))
+            qv, sv = quantize_kv_rows(f["fv"].astype(jnp.float32))
+            return {
+                "k": jax.lax.dynamic_update_slice(layer["k"], qk, (base, 0, 0)),
+                "k_s": jax.lax.dynamic_update_slice(layer["k_s"], sk, (base, 0)),
+                "v": jax.lax.dynamic_update_slice(layer["v"], qv, (base, 0, 0)),
+                "v_s": jax.lax.dynamic_update_slice(layer["v_s"], sv, (base, 0)),
             }
-            if layer is not None
-            else None
+        return {
+            "k": jax.lax.dynamic_update_slice(
+                layer["k"], f["fk"].astype(layer["k"].dtype), (base, 0, 0)
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                layer["v"], f["fv"].astype(layer["v"].dtype), (base, 0, 0)
+            ),
+        }
+
+    def _merge_chunk(prefix, fresh, base):
+        return [
+            _merge_one(layer, f, base) if layer is not None else None
             for layer, f in zip(prefix, fresh)
         ]
 
@@ -482,12 +516,10 @@ def mixedlm_unmask(
                 if prefix is not None:
                     stage = [
                         {
-                            "k": jax.lax.dynamic_update_slice(
-                                sl["k"], pl["k"], (0, 0, 0)
-                            ),
-                            "v": jax.lax.dynamic_update_slice(
-                                sl["v"], pl["v"], (0, 0, 0)
-                            ),
+                            key: jax.lax.dynamic_update_slice(
+                                sl[key], pl[key], (0,) * sl[key].ndim
+                            )
+                            for key in sl
                         }
                         if sl is not None
                         else None
@@ -512,7 +544,7 @@ def mixedlm_unmask(
     for c in range(n_chunks):
         base = c * C
         sliced = [
-            {"k": layer["k"][:base], "v": layer["v"][:base]}
+            {key: layer[key][:base] for key in layer}
             if layer is not None
             else None
             for layer in prefix

@@ -31,7 +31,7 @@ def measure(label, cache_dtype, chunk, repeats=3):
         BATCH, SEQ, dim=DIM, emb_dim=256, depth=DEPTH_DEC, heads=HEADS,
         dim_head=DIM_HEAD,
     )
-    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[cache_dtype]
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[cache_dtype]
 
     # params go in as a jit ARGUMENT: closing over them embeds 226M fp32
     # constants in the serialized module, which the remote-compile helper
@@ -81,10 +81,18 @@ def main():
           f"dim_head {DIM_HEAD}, batch {BATCH}, seq {SEQ} "
           f"(cache bytes fp32 = {SEQ * BATCH * DIM_HEAD * 4 * 2 * DEPTH_DEC / 1e9:.2f} GB)",
           flush=True)
-    for cache_dtype, chunk in (
+    import sys as _sys
+    matrix = (
         ("fp32", 16), ("bf16", 16), ("bf16", 32), ("fp32", 32), ("fp32", 16),
         ("bf16", 16),
-    ):
+    )
+    if "--int8" in _sys.argv:
+        # int8 A/B vs the measured bf16 winner (alternated for drift control)
+        matrix = (
+            ("bf16", 16), ("int8", 16), ("int8", 32), ("bf16", 16),
+            ("int8", 16),
+        )
+    for cache_dtype, chunk in matrix:
         print(f"cache={cache_dtype} C={chunk}", flush=True)
         measure(f"decode cache={cache_dtype} C={chunk}", cache_dtype, chunk)
 

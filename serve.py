@@ -41,7 +41,7 @@ def main():
     )
     parser.add_argument("--warmup-greedy", action="store_true")
     parser.add_argument(
-        "--cache-dtype", choices=("fp32", "bf16"), default="fp32",
+        "--cache-dtype", choices=("fp32", "bf16", "int8"), default="fp32",
         help="decoder KV-cache precision: fp32 (bit-stable, fastest at "
              "flagship size) or bf16 (measured +18%% decode once caches "
              "reach ~1 GB — serving configs at dim >= 1024)",

@@ -619,6 +619,46 @@ class TestWrappers:
                 staged, classic, err_msg=f"chunk={chunk} stages={stages}"
             )
 
+    def test_mixedlm_unmask_int8_cache(self, sp_model):
+        """int8-quantized prefix caches (per-row scales folded into the
+        attend): trajectories are not guaranteed bit-stable vs fp32, but at
+        these dims the greedy decode must agree almost everywhere and every
+        filled position must be a real token (not MASK/PAD)."""
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        kwargs = dict(
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+            greedy=True,
+        )
+        classic = np.array(
+            mixedlm_unmask(model, variables, tokens, batch["masked_perf"], **kwargs)
+        )
+        filled = np.array(tokens == 1)
+        for extra in ({"chunk_size": 8}, {"chunk_size": 5},
+                      {"chunk_size": 8, "capacity_stages": 2}):
+            q = np.array(
+                mixedlm_unmask(
+                    model, variables, tokens, batch["masked_perf"],
+                    cache_dtype=jnp.int8, **extra, **kwargs,
+                )
+            )
+            assert np.all((q[filled] != 1) & (q[filled] != 0)), extra
+            agree = (q[filled] == classic[filled]).mean()
+            assert agree >= 0.95, (extra, agree)
+        # untouched positions must be byte-identical
+        np.testing.assert_array_equal(q[~filled], classic[~filled])
+
+        # the classic scan cannot quantize (guard)
+        with pytest.raises(AssertionError):
+            mixedlm_unmask(
+                model, variables, tokens, batch["masked_perf"],
+                cache_dtype=jnp.int8, chunk_size=None, **kwargs,
+            )
+
     def test_mixedlm_unmask_valid_len_semantics(self, sp_model):
         """Per-row valid_len (the render server's padded-bucket contract):
         positions >= valid_len stay untouched, and the decoded prefix of a

@@ -216,3 +216,23 @@ def test_write_kv_fallback_semantics():
     bf = jnp.zeros((10, 4, 8), jnp.bfloat16)
     out = jax.jit(write_kv)(bf, new, 0)
     assert out.dtype == jnp.bfloat16
+
+
+def test_quantize_kv_rows_roundtrip():
+    """Symmetric per-row int8 quantization: dequantized rows are within half
+    a quantization step of the input, and all-zero rows stay exactly zero."""
+    from scoreperformer_tpu.models.attention import quantize_kv_rows
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, 3, 16).astype(np.float32) * 4.0)
+    q, s = quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == x.shape[:-1]
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    step = np.asarray(s)[..., None]
+    assert np.all(np.abs(deq - np.asarray(x)) <= 0.5 * step + 1e-7)
+
+    zeros = jnp.zeros((2, 2, 8), jnp.float32)
+    qz, sz = quantize_kv_rows(zeros)
+    assert np.all(np.asarray(qz) == 0)
+    deqz = np.asarray(qz, np.float32) * np.asarray(sz)[..., None]
+    assert np.all(deqz == 0.0)
