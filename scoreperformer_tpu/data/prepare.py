@@ -125,6 +125,74 @@ def build_aligned_performance(
     return aligned, alignment
 
 
+def _prepare_piece(
+    tokenizer,
+    score_name: str,
+    score_path: str,
+    perf_paths: List[str],
+    output_root: str,
+    directions_path: Optional[str],
+):
+    """Tokenize one piece (score + all its performances) and write its token
+    JSONs. Pieces are independent — this is the unit of parallelism."""
+    from .datasets import get_num_bars
+
+    score_midi = read_midi(score_path)
+    score_seq = tokenizer.score_midi_to_tokens(score_midi)
+    dump_json({"ids": score_seq.ids.tolist()}, os.path.join(output_root, score_name + ".json"))
+
+    perf_names: List[str] = []
+    bars: Dict[str, int] = {}
+    initial_tempos: Dict[str, float] = {}
+    for pi, perf_path in enumerate(perf_paths):
+        perf_name = f"{score_name}_perf_{pi}"
+        perf_midi = read_midi(perf_path)
+        aligned, alignment = build_aligned_performance(
+            tokenizer, score_midi, perf_midi, score_seq
+        )
+        perf_seq = tokenizer.performance_midi_to_tokens(
+            aligned, score_seq, alignment=alignment, preprocess=False
+        )
+        dump_json(
+            {
+                "ids": perf_seq.ids.tolist(),
+                "meta": {"initial_tempo": perf_seq.meta.get("initial_tempo")},
+            },
+            os.path.join(output_root, perf_name + ".json"),
+        )
+        perf_names.append(perf_name)
+        bars[perf_name] = get_num_bars(perf_seq.ids, tokenizer)
+        if perf_seq.meta.get("initial_tempo") is not None:
+            initial_tempos[perf_name] = float(perf_seq.meta["initial_tempo"])
+
+    piece_directions = None
+    if directions_path:
+        from .musicxml_directions import parse_directions
+
+        parsed = parse_directions(directions_path)
+        piece_directions = [d for part in parsed for d in part]
+    return score_name, perf_names, bars, initial_tempos, piece_directions
+
+
+# per-worker tokenizer cache (spawned workers rebuild it once from the saved
+# config.json rather than pickling the tokenizer object per task)
+_WORKER_TOKENIZER: Optional[tuple] = None
+
+
+def _piece_worker(task):
+    global _WORKER_TOKENIZER
+    (score_name, score_path, perf_paths, output_root, config_path, directions_path) = task
+    if _WORKER_TOKENIZER is None or _WORKER_TOKENIZER[0] != config_path:
+        from . import prepare  # noqa: F401 (keep module import side effects)
+        from ..tokenizers import load_tokenizer
+
+        _WORKER_TOKENIZER = (config_path, load_tokenizer(config_path))
+    tokenizer = _WORKER_TOKENIZER[1]
+    return _prepare_piece(
+        tokenizer, score_name, score_path, perf_paths, output_root, directions_path
+    )
+
+
 def prepare_dataset(
     pairs: Sequence[Tuple[str, str, List[str]]],  # (score_name, score.mid, [perf.mid...])
     output_root: str,
@@ -133,55 +201,59 @@ def prepare_dataset(
     directions: Optional[Dict[str, str]] = None,  # score_name -> musicxml path
     splits: Optional[Dict[str, float]] = None,
     seed: int = 23,
+    workers: int = 0,
 ) -> str:
-    """Tokenize score/performance MIDI pairs into a training dataset."""
+    """Tokenize score/performance MIDI pairs into a training dataset.
+
+    `workers > 1` fans pieces out over a spawn-based process pool (pieces are
+    independent; all writes go to distinct files and the manifests are
+    assembled in input order, so outputs are identical to the serial run).
+    """
     os.makedirs(output_root, exist_ok=True)
     tokenizer = TOKENIZERS[tokenization](
         tokenizer_config or TokenizerConfig(additional_params={"max_bar_embedding": 256})
     )
-    tokenizer.save(os.path.join(output_root, "config.json"))
+    config_path = os.path.join(output_root, "config.json")
+    tokenizer.save(config_path)
 
     metadata: Dict[str, List[str]] = {}
-    alignments: Dict[str, list] = {}
     bars: Dict[str, int] = {}
     initial_tempos: Dict[str, float] = {}
     directions_dict: Dict[str, list] = {}
 
-    for score_name, score_path, perf_paths in pairs:
-        score_midi = read_midi(score_path)
-        score_seq = tokenizer.score_midi_to_tokens(score_midi)
-        dump_json({"ids": score_seq.ids.tolist()}, os.path.join(output_root, score_name + ".json"))
+    tasks = [
+        (
+            score_name,
+            score_path,
+            perf_paths,
+            output_root,
+            config_path,
+            directions.get(score_name) if directions else None,
+        )
+        for score_name, score_path, perf_paths in pairs
+    ]
+    if workers and int(workers) > 1 and len(tasks) > 1:
+        # spawn (not fork): a forked child would inherit any live TPU/JAX
+        # client state from the parent; tokenization is pure host work
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
 
-        perf_names = []
-        for pi, perf_path in enumerate(perf_paths):
-            perf_name = f"{score_name}_perf_{pi}"
-            perf_midi = read_midi(perf_path)
-            aligned, alignment = build_aligned_performance(
-                tokenizer, score_midi, perf_midi, score_seq
-            )
-            perf_seq = tokenizer.performance_midi_to_tokens(
-                aligned, score_seq, alignment=alignment, preprocess=False
-            )
-            dump_json(
-                {
-                    "ids": perf_seq.ids.tolist(),
-                    "meta": {"initial_tempo": perf_seq.meta.get("initial_tempo")},
-                },
-                os.path.join(output_root, perf_name + ".json"),
-            )
-            perf_names.append(perf_name)
-            from .datasets import get_num_bars
+        with ProcessPoolExecutor(
+            max_workers=int(workers), mp_context=mp.get_context("spawn")
+        ) as pool:
+            results = list(pool.map(_piece_worker, tasks))
+    else:
+        results = [
+            _prepare_piece(tokenizer, name, spath, perfs, output_root, dpath)
+            for name, spath, perfs, _, _, dpath in tasks
+        ]
 
-            bars[perf_name] = get_num_bars(perf_seq.ids, tokenizer)
-            if perf_seq.meta.get("initial_tempo") is not None:
-                initial_tempos[perf_name] = float(perf_seq.meta["initial_tempo"])
+    for score_name, perf_names, piece_bars, piece_tempos, piece_directions in results:
         metadata[score_name] = perf_names
-
-        if directions and score_name in directions:
-            from .musicxml_directions import parse_directions
-
-            parsed = parse_directions(directions[score_name])
-            directions_dict[score_name] = [d for part in parsed for d in part]
+        bars.update(piece_bars)
+        initial_tempos.update(piece_tempos)
+        if piece_directions is not None:
+            directions_dict[score_name] = piece_directions
 
     if splits:
         names = sorted(metadata)

@@ -52,7 +52,9 @@ class RenderServer:
         decode throughput once caches reach ~1 GB, i.e. serving configs at
         dim >= 1024 — scripts/exp_scale_decode.py / BASELINE.md round 3),
         or "int8" (quantized prefix, per-row scales — 4x smaller prefix
-        reads; trajectories are not bit-stable vs fp32).
+        reads; measured +27% over fp32 / +7% over bf16 at the 1 GB scale
+        regime, BASELINE.md round 3; trajectories are not bit-stable vs
+        fp32).
         `chunk_size`: chunked-carry decode chunk (16 is the measured knee)."""
         self.model, self.variables, self.model_cfg = load_model_from_checkpoint(checkpoint)
         if tokenizer_path is None:

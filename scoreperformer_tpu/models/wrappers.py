@@ -172,6 +172,9 @@ def mixedlm_unmask(
     the merge, and dequantization folds into the attend scales, so no fp32
     copy of the prefix is ever materialized. Trajectories are NOT
     bit-stable vs fp32 (quantization error); requires the chunked path.
+    Measured at the >= 1 GB scale regime (dim 1024, batch 256, seq 512):
+    fp32 152k < bf16 179k < **int8 193k tok/s** (+27% / +7%) — the serving
+    recommendation at dim >= 1024 (BASELINE.md round 3).
 
     `chunk_size` selects the chunked-carry decode: a two-level scan whose
     inner level carries only (chunk_size, b, kv) fresh-KV buffers while the
