@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--max-bar-embedding", type=int, default=256)
     parser.add_argument("--splits", default=None, help="e.g. train=0.9,eval=0.1")
     parser.add_argument("--seed", type=int, default=23)
+    parser.add_argument(
+        "--workers", type=int, default=0,
+        help="parallel piece tokenization processes (0/1 = serial; outputs identical)",
+    )
     args = parser.parse_args()
 
     from scoreperformer_tpu.data.prepare import prepare_dataset
@@ -70,6 +74,7 @@ def main():
         directions=directions or None,
         splits=splits,
         seed=args.seed,
+        workers=args.workers,
     )
     print(f"dataset written to {args.output}")
 

@@ -207,7 +207,12 @@ def prepare_dataset(
 
     `workers > 1` fans pieces out over a spawn-based process pool (pieces are
     independent; all writes go to distinct files and the manifests are
-    assembled in input order, so outputs are identical to the serial run).
+    assembled in input order, so outputs are byte-identical to the serial run
+    — tests/test_prepare.py::test_parallel_workers_identical_outputs). Each
+    worker pays a one-time ~3 s package-import startup, so it only pays off
+    for corpora with many/large pieces on multi-core hosts; the CI host here
+    is single-core (no speedup is measurable on it), so the default stays
+    serial. Set workers ~= physical cores for real corpus preparation.
     """
     os.makedirs(output_root, exist_ok=True)
     tokenizer = TOKENIZERS[tokenization](

@@ -80,3 +80,40 @@ class TestPrepareDataset:
         perf0 = dataset.performances[0]
         tempos = tok.decode_token_type(perf0, "Tempo")
         assert 80 < np.median(tempos) < 140
+
+    def test_parallel_workers_identical_outputs(self, tmp_path):
+        """workers>1 fans pieces over a process pool; every written artifact
+        must be byte-identical to the serial run (pieces are independent and
+        manifests assemble in input order)."""
+        import json
+
+        raw = tmp_path / "raw"
+        rng = np.random.RandomState(11)
+        pairs = []
+        for si in range(3):
+            piece = raw / f"piece{si}"
+            piece.mkdir(parents=True)
+            score = synthetic_score(rng, n_bars=4, base_pitch=48 + si)
+            write_midi(score, str(piece / "score.mid"))
+            perf = synthetic_performance(score, rng, tempo_base=90 + 5 * si)
+            path = str(piece / "perf0.mid")
+            write_midi(perf, path)
+            pairs.append((f"piece{si}", str(piece / "score.mid"), [path]))
+
+        serial = str(tmp_path / "serial")
+        parallel = str(tmp_path / "parallel")
+        prepare_dataset(pairs, serial, tokenization="SPMupleWindow",
+                        splits={"train": 0.7, "eval": 0.3})
+        prepare_dataset(pairs, parallel, tokenization="SPMupleWindow",
+                        splits={"train": 0.7, "eval": 0.3}, workers=2)
+
+        names = sorted(os.listdir(serial))
+        assert names == sorted(os.listdir(parallel))
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(serial, name)) as f:
+                a = json.load(f)
+            with open(os.path.join(parallel, name)) as f:
+                b = json.load(f)
+            assert a == b, name
