@@ -133,7 +133,10 @@ bool parse(const uint8_t* data, size_t len, Result& res) {
     while (p < end) {
       uint64_t delta;
       if (!read_varlen(data, end, p, delta)) break;
+      // clamp: varlen deltas reach 2^56, so unclamped accumulation over many
+      // events could overflow int64 (UB); 2^62 keeps every later sum in range
       tick += int64_t(delta);
+      if (tick > (int64_t(1) << 62)) tick = int64_t(1) << 62;
       if (p >= end) break;
       uint8_t status = data[p];
       if (status & 0x80) {
@@ -201,7 +204,9 @@ bool parse(const uint8_t* data, size_t len, Result& res) {
         } else if (meta_type == 0x58 && meta_len >= 2) {  // time signature
           res.ts_ticks.push_back(tick);
           res.ts_num.push_back(payload[0]);
-          res.ts_den.push_back(1 << payload[1]);
+          // clamp the denominator power: valid files use <=6, and an
+          // unclamped shift by >=31 is undefined behavior on int32
+          res.ts_den.push_back(1 << (payload[1] > 30 ? 30 : payload[1]));
         } else if (meta_type == 0x59 && meta_len >= 2) {  // key signature
           int sf = int(int8_t(payload[0]));
           int minor = meta_len > 1 ? payload[1] : 0;

@@ -29,6 +29,22 @@ def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
             return value, pos
 
 
+def _read_varlen_bounded(data: bytes, pos: int, end: int):
+    """Bounded variable-length read: returns (value, pos) or None on truncation
+    or a varlen longer than 8 bytes — mirroring the native parser exactly so
+    malformed files degrade identically in both (tests/test_smf_fuzz.py)."""
+    value = 0
+    for _ in range(8):
+        if pos >= end:
+            return None
+        byte = data[pos]
+        pos += 1
+        value = (value << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            return value, pos
+    return None
+
+
 def _write_varlen(value: int) -> bytes:
     if value < 0:
         raise ValueError(f"cannot encode negative varlen value {value}")
@@ -64,7 +80,7 @@ def read_midi_py(path_or_bytes) -> MidiScore:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
 
-    if data[:4] != b"MThd":
+    if len(data) < 14 or data[:4] != b"MThd":
         raise ValueError("not a MIDI file (missing MThd)")
     header_len = struct.unpack(">I", data[4:8])[0]
     fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
@@ -87,7 +103,9 @@ def read_midi_py(path_or_bytes) -> MidiScore:
             pos += 8 + length
             continue
         length = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
-        end = pos + 8 + length
+        # clamp the declared chunk length to the file (native parity: a
+        # truncated final chunk is parsed as far as the bytes go)
+        end = min(pos + 8 + length, len(data))
         p = pos + 8
         tick = 0
         running_status = 0
@@ -110,9 +128,18 @@ def read_midi_py(path_or_bytes) -> MidiScore:
                     (pitch, velocity, start_tick, end_tick)
                 )
 
+        # Bounds discipline matches the native parser byte-for-byte: any event
+        # truncated at the chunk edge ends the track gracefully (partial
+        # parse), while genuinely invalid streams raise ValueError. The fuzz
+        # parity test relies on the two parsers agreeing on every input.
         while p < end:
-            delta, p = _read_varlen(data, p)
-            tick += delta
+            varlen = _read_varlen_bounded(data, p, end)
+            if varlen is None:
+                break
+            delta, p = varlen
+            tick = min(tick + delta, 1 << 62)  # int64-safe (native parity)
+            if p >= end:
+                break
             status = data[p]
             if status & 0x80:
                 p += 1
@@ -120,10 +147,14 @@ def read_midi_py(path_or_bytes) -> MidiScore:
                     running_status = status
             else:
                 status = running_status
+                if not status & 0x80:
+                    raise ValueError("dangling data byte with no running status")
 
             kind = status & 0xF0
             channel = status & 0x0F
             if kind == 0x90:  # note on
+                if p + 2 > end:
+                    break
                 pitch, velocity = data[p], data[p + 1]
                 p += 2
                 if velocity > 0:
@@ -134,25 +165,39 @@ def read_midi_py(path_or_bytes) -> MidiScore:
                 else:
                     close_note(channel, pitch, tick)
             elif kind == 0x80:  # note off
+                if p + 2 > end:
+                    break
                 pitch = data[p]
                 p += 2
                 close_note(channel, pitch, tick)
             elif kind == 0xB0:  # control change
+                if p + 2 > end:
+                    break
                 control_changes.append((tick, data[p], data[p + 1]))
                 p += 2
             elif kind == 0xC0:  # program change
+                if p + 1 > end:
+                    break
                 channel_programs[channel] = data[p]
                 p += 1
             elif kind == 0xE0:  # pitch bend
+                if p + 2 > end:
+                    break
                 value = (data[p + 1] << 7 | data[p]) - 8192
                 pitch_bends.append((tick, value))
                 p += 2
             elif kind == 0xA0 or kind == 0xD0:  # aftertouch
                 p += 2 if kind == 0xA0 else 1
             elif status == 0xFF:  # meta
+                if p >= end:
+                    break
                 meta_type = data[p]
                 p += 1
-                meta_len, p = _read_varlen(data, p)
+                varlen = _read_varlen_bounded(data, p, end)
+                if varlen is None:
+                    break
+                meta_len, p = varlen
+                meta_len = min(meta_len, end - p)  # clamp to the chunk
                 payload = data[p : p + meta_len]
                 p += meta_len
                 if meta_type == 0x51 and meta_len == 3:  # tempo
@@ -160,7 +205,7 @@ def read_midi_py(path_or_bytes) -> MidiScore:
                     if us_per_quarter > 0:
                         tempos.append((tick, 60_000_000.0 / us_per_quarter))
                 elif meta_type == 0x58 and meta_len >= 2:  # time signature
-                    time_sigs.append((tick, payload[0], 1 << payload[1]))
+                    time_sigs.append((tick, payload[0], 1 << min(payload[1], 30)))
                 elif meta_type == 0x59 and meta_len >= 2:  # key signature
                     sf = struct.unpack("b", payload[:1])[0]
                     minor = payload[1] if meta_len > 1 else 0
@@ -174,7 +219,10 @@ def read_midi_py(path_or_bytes) -> MidiScore:
                 elif meta_type == 0x2F:  # end of track
                     break
             elif status in (0xF0, 0xF7):  # sysex
-                sys_len, p = _read_varlen(data, p)
+                varlen = _read_varlen_bounded(data, p, end)
+                if varlen is None:
+                    break
+                sys_len, p = varlen
                 p += sys_len
             else:
                 raise ValueError(f"unexpected MIDI status byte 0x{status:02x}")
