@@ -54,6 +54,9 @@ class TransformerConfig(ModuleConfig):
     pre_norm: bool = True
     use_adanorm: bool = False
     style_emb_dim: Optional[int] = None
+    # pipeline-parallel depth units (parallel/pipeline.py) are depth-1 stacks
+    # without the trailing norm; every normal config keeps the default True
+    final_norm: bool = True
 
     def layer_types(self) -> Tuple[str, ...]:
         if self.cross_attend and not self.only_cross:
@@ -125,7 +128,9 @@ class TransformerStack(nn.Module):
             return nn.LayerNorm(epsilon=1e-5, name=name)
 
         self.norms = [make_norm(f"layer_{ind}_norm") for ind in range(len(self.layer_types))]
-        self.final_norm = make_norm("final_norm") if cfg.pre_norm else None
+        self.final_norm = (
+            make_norm("final_norm") if (cfg.pre_norm and cfg.final_norm) else None
+        )
 
     def _apply_norm(self, norm, x, style_embeddings):
         if self.config.use_adanorm:

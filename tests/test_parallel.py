@@ -374,3 +374,118 @@ class TestSequenceParallel:
 
 def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
+
+
+class TestPipelineParallel:
+    """GPipe pipeline over the `pipe` mesh axis (parallel/pipeline.py): the
+    trunk's depth units sharded over stages with ppermute hops must reproduce
+    the single-device stack — forward and gradients — for any microbatch
+    count, composed with the data axis."""
+
+    @staticmethod
+    def _trunk_and_params(adanorm: bool = False, seed: int = 0):
+        from scoreperformer_tpu.models.transformer import (
+            AttentionConfig, FeedForwardConfig, TransformerConfig,
+            TransformerStack,
+        )
+
+        cfg = TransformerConfig(
+            dim=32, depth=4, heads=2, causal=True,
+            attention=AttentionConfig(dim_head=16, one_kv_head=True,
+                                      alibi_pos_bias=True, alibi_learned=True),
+            feed_forward=FeedForwardConfig(glu=True, swish=True),
+            use_adanorm=adanorm,
+            style_emb_dim=12 if adanorm else None,
+        )
+        trunk = TransformerStack(config=cfg)
+        x = jax.random.normal(jax.random.PRNGKey(seed + 1), (8, 12, 32))
+        mask = jnp.ones((8, 12), bool).at[:, 10:].set(False)
+        style = (jax.random.normal(jax.random.PRNGKey(seed + 2), (8, 12, 12))
+                 if adanorm else None)
+        kw = dict(mask=mask)
+        if adanorm:
+            kw["style_embeddings"] = style
+        params = trunk.init({"params": jax.random.PRNGKey(seed)}, x, **kw)["params"]
+        return cfg, trunk, params, x, kw
+
+    def _pp_forward(self, cfg, params, x, kw, data_n, pipe_n, m):
+        from flax import linen as nn
+
+        from scoreperformer_tpu.parallel import (
+            make_pipeline_mesh, make_unit_module, pipeline_apply,
+            stack_unit_params,
+        )
+
+        unit = make_unit_module(cfg)
+        stacked = stack_unit_params(params, cfg.depth)
+        mesh = make_pipeline_mesh(
+            pipe_n, data=data_n, devices=jax.devices()[: data_n * pipe_n])
+        h = pipeline_apply(unit, stacked, x, mesh, num_microbatches=m,
+                           mask=kw.get("mask"),
+                           style_embeddings=kw.get("style_embeddings"))
+        if cfg.use_adanorm:
+            from scoreperformer_tpu.models.layers import AdaptiveLayerNorm
+
+            return AdaptiveLayerNorm(cfg.dim, cfg.style_emb_dim).apply(
+                {"params": params["final_norm"]}, h,
+                condition=kw["style_embeddings"])
+        return nn.LayerNorm(epsilon=1e-5).apply(
+            {"params": params["final_norm"]}, h)
+
+    @pytest.mark.parametrize("data_n,pipe_n,m", [(1, 4, 2), (2, 4, 4), (1, 2, 1)])
+    def test_forward_matches_single_device(self, data_n, pipe_n, m):
+        cfg, trunk, params, x, kw = self._trunk_and_params()
+        expected, _, _ = trunk.apply({"params": params}, x, **kw)
+        got = self._pp_forward(cfg, params, x, kw, data_n, pipe_n, m)
+        np.testing.assert_allclose(np.array(got), np.array(expected),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_forward_matches_with_adanorm(self):
+        cfg, trunk, params, x, kw = self._trunk_and_params(adanorm=True, seed=5)
+        expected, _, _ = trunk.apply({"params": params}, x, **kw)
+        got = self._pp_forward(cfg, params, x, kw, 2, 4, 2)
+        np.testing.assert_allclose(np.array(got), np.array(expected),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_sequential_scan(self):
+        from scoreperformer_tpu.parallel import (
+            make_pipeline_mesh, make_unit_module, pipeline_apply,
+            stack_unit_params,
+        )
+
+        cfg, _, params, x, kw = self._trunk_and_params()
+        unit = make_unit_module(cfg)
+        stacked = stack_unit_params(params, cfg.depth)
+        mesh = make_pipeline_mesh(4, data=2)
+
+        def loss_pp(sp):
+            out = pipeline_apply(unit, sp, x, mesh, 2, mask=kw["mask"])
+            return (out ** 2).sum()
+
+        def loss_seq(sp):
+            def body(h, p):
+                y, _, _ = unit.apply({"params": p}, h, mask=kw["mask"])
+                return y, None
+
+            h, _ = jax.lax.scan(body, x, sp)
+            return (h ** 2).sum()
+
+        g_pp = jax.jit(jax.grad(loss_pp))(stacked)
+        g_seq = jax.jit(jax.grad(loss_seq))(stacked)
+        for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+            scale = float(jnp.abs(b).max()) + 1e-9
+            np.testing.assert_allclose(np.array(a) / scale, np.array(b) / scale,
+                                       atol=3e-6)
+
+    def test_stack_unstack_roundtrip(self):
+        from scoreperformer_tpu.parallel import (
+            stack_unit_params, unstack_unit_tree,
+        )
+
+        cfg, _, params, _, _ = self._trunk_and_params()
+        stacked = stack_unit_params(params, cfg.depth)
+        rt = unstack_unit_tree(stacked, cfg.depth)
+        flat = {k: v for k, v in params.items() if k != "final_norm"}
+        assert jax.tree_util.tree_structure(rt) == jax.tree_util.tree_structure(flat)
+        for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(flat)):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
