@@ -6,7 +6,7 @@ array transforms over :class:`NoteArray`.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -121,6 +121,24 @@ def quantize_tempo_times(
     rest = times % ticks_per_sample
     times = times + np.where(rest <= ticks_per_sample / 2, -rest, ticks_per_sample - rest)
     return times, tempos
+
+
+def quantize_key_signature_times(
+    key_sigs: List[Tuple[int, str]], time_division: int, max_beat_res: int = 32
+) -> List[Tuple[int, str]]:
+    """Quantize key-signature change times to the sample grid and drop
+    successive identical keys (quantization.py:120-141)."""
+    ticks_per_sample = int(time_division / max_beat_res)
+    out: List[Tuple[int, str]] = []
+    prev_key = None
+    for tick, key in key_sigs:
+        if key == prev_key:
+            continue
+        rest = tick % ticks_per_sample
+        tick += -rest if rest <= ticks_per_sample / 2 else ticks_per_sample - rest
+        out.append((int(tick), key))
+        prev_key = key
+    return out
 
 
 def quantize_time_signature_times(

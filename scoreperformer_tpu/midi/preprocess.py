@@ -62,6 +62,9 @@ def preprocess_midi(
             midi.tempos.time, midi.tempos.tempo, time_division=midi.ticks_per_beat
         )
         midi.tempos.time, midi.tempos.tempo = tt, tp
+        midi.key_sigs = ops.quantize_key_signature_times(
+            midi.key_sigs, time_division=midi.ticks_per_beat
+        )
 
     if target_ticks_per_beat is not None:
         ops.resample_midi(midi, ticks_per_beat=target_ticks_per_beat)

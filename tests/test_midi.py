@@ -161,6 +161,13 @@ class TestOps:
         assert b.tolist() == [120.0, 90.0]
         assert t.tolist() == [0, 195]  # 200 % 15 = 5 <= 7.5 -> down to 195
 
+    def test_quantize_key_signatures_dedup_and_snap(self):
+        # dedup consecutive identical keys, then snap to the 15-tick grid
+        # (480/32), round-half-down — reference quantization.py:120-141
+        ks = [(0, "C"), (100, "C"), (200, "G"), (310, "F")]
+        out = ops.quantize_key_signature_times(ks, time_division=480)
+        assert out == [(0, "C"), (195, "G"), (315, "F")]
+
     def test_quantize_time_signatures_moves_to_barline(self):
         # 4/4 then change at tick 2000 (not on a bar line of 1920) -> moves to 3840
         t, n, d = ops.quantize_time_signature_times(

@@ -477,6 +477,63 @@ class TestPipelineParallel:
             np.testing.assert_allclose(np.array(a) / scale, np.array(b) / scale,
                                        atol=3e-6)
 
+    def test_pipeline_training_steps_learn(self):
+        """End-to-end PP training: a tiny LM (embedding -> pipelined trunk ->
+        tied logits) trained with adam on the STACKED params over a
+        (2 data x 4 pipe) mesh; the loss must drop and the first-step loss
+        must match the sequential (non-pipelined) trunk."""
+        import optax
+
+        from scoreperformer_tpu.parallel import (
+            make_pipeline_mesh, make_unit_module, pipeline_apply,
+            stack_unit_params,
+        )
+
+        cfg, _, params, _, _ = self._trunk_and_params()
+        unit = make_unit_module(cfg)
+        mesh = make_pipeline_mesh(4, data=2)
+
+        vocab, b, t = 17, 8, 12
+        key = jax.random.PRNGKey(3)
+        tokens = jax.random.randint(key, (b, t), 0, vocab)
+        emb = jax.random.normal(jax.random.PRNGKey(4), (vocab, 32)) * 0.02
+        train_params = {"emb": emb, "trunk": stack_unit_params(params, cfg.depth)}
+
+        def loss_fn(p, pipelined: bool):
+            x = p["emb"][tokens]
+            if pipelined:
+                h = pipeline_apply(unit, p["trunk"], x, mesh, num_microbatches=2)
+            else:
+                def body(hc, up):
+                    y, _, _ = unit.apply({"params": up}, hc)
+                    return y, None
+
+                h, _ = jax.lax.scan(body, x, p["trunk"])
+            logits = h @ p["emb"].T  # tied head
+            logp = jax.nn.log_softmax(logits[:, :-1])
+            tgt = tokens[:, 1:]
+            return -jnp.take_along_axis(logp, tgt[..., None], -1).mean()
+
+        # same math pipelined vs sequential before any training
+        l_pp = float(jax.jit(lambda p: loss_fn(p, True))(train_params))
+        l_seq = float(jax.jit(lambda p: loss_fn(p, False))(train_params))
+        np.testing.assert_allclose(l_pp, l_seq, rtol=1e-5)
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(train_params)
+
+        @jax.jit
+        def step(p, s):
+            loss, grads = jax.value_and_grad(lambda q: loss_fn(q, True))(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        losses = []
+        for _ in range(8):
+            train_params, opt_state, loss = step(train_params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.9, losses
+
     def test_stack_unstack_roundtrip(self):
         from scoreperformer_tpu.parallel import (
             stack_unit_params, unstack_unit_tree,
