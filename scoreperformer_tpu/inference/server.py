@@ -2,18 +2,35 @@
 
 Production serving layer (the reference has no server — its interactive flow
 is the Colab notebook around inference/generators.py; reference README.md:13).
-TPU-first design: scores are padded to LENGTH BUCKETS so the compiled encoder
-pass and the compiled MixedLM decode scan are reused across requests — a
-running server sees at most a handful of compilations regardless of request
-lengths (static shapes; XLA caches per shape).
+TPU-first design: scores are padded to LENGTH BUCKETS and requests coalesce
+into BATCH BUCKETS, so the compiled encoder pass and the compiled MixedLM
+decode scan are reused across requests — a running server sees at most a
+handful of compilations regardless of request lengths or load (static shapes;
+XLA caches per shape).
 
-Padding correctness:
+Dynamic request batching: decode throughput on TPU scales strongly with batch
+(BASELINE.md: 107k tok/s at batch 32 vs 779k at 512 — per-row cost drops with
+occupancy), so `render_batch` stacks any number of concurrent requests into
+one compiled call with per-row valid lengths, per-row temperatures, and
+per-row style deltas. serve.py's TCP mode coalesces concurrent client
+requests into these batches (``--max-batch`` / ``--batch-window-ms``).
+
+Padding correctness (length AND batch padding):
 - encoder: padded positions carry mask=False; the MMD encoder zeroes masked
   hidden states before aggregation, and padded segment ids are set to a
   sentinel (clipped to max_segments-1) so they cannot dilute valid segments;
-- decoder: `mixedlm_unmask(valid_len=T)` leaves positions >= T untouched and
-  the decode is causal, so the padded tail cannot influence valid positions;
-- outputs are truncated back to the true length before detokenization.
+- decoder: `mixedlm_unmask(valid_len)` is per-row; positions >= valid_len are
+  untouched and the decode is causal, so padded tails cannot influence valid
+  positions. Rows are independent (`tests/test_parallel.py` sharded-decode
+  bit-parity), so batch-padding rows (valid_len=1) cannot influence real rows;
+- outputs are truncated back to each request's true length before
+  detokenization.
+
+Determinism: a single (uncoalesced) request reproduces exactly for a given
+seed, independent of which length bucket it lands in. A coalesced SAMPLED
+batch draws from one combined RNG stream (key = fold of the requests' seeds),
+so its outputs are deterministic given the same batch composition; greedy
+requests are batch-invariant.
 
 Wire protocol (serve.py): one JSON object per line, over stdin/stdout or TCP.
 """
@@ -22,7 +39,7 @@ from __future__ import annotations
 import os
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +53,7 @@ from .render import load_model_from_checkpoint, prepare_render_inputs
 
 
 class RenderServer:
-    """Stateful renderer with length-bucketed compiled paths."""
+    """Stateful renderer with length- and batch-bucketed compiled paths."""
 
     def __init__(
         self,
@@ -66,7 +83,7 @@ class RenderServer:
         dec_max = getattr(self.model_cfg.perf_decoder, "max_seq_len", max_len)
         self.max_len = min(int(max_len), int(dec_max))
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "errors": 0, "buckets": set()}
+        self.stats = {"requests": 0, "errors": 0, "buckets": set(), "batches": {}}
 
         model = self.model
         kv_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[cache_dtype]
@@ -87,11 +104,13 @@ class RenderServer:
             # dispatches, which on a tunneled remote chip costs a full round
             # trip per request. The style delta is added inside the compiled
             # path (a host-side eager add would trigger a remote compile).
+            # All request-varying quantities are PER-ROW arrays: delta
+            # (B, style_dim), valid_len (B,), temperature (B,).
             score_emb, style_emb, _ = model.apply(
                 variables, perf, pmask, score, smask, bars, beats, onsets,
                 method="encode_embeddings", rngs={"mmd": jax.random.PRNGKey(0)},
             )
-            style = style_emb + delta[None, None, :]
+            style = style_emb + delta[:, None, :]
             return mixedlm_unmask(
                 model, variables, tokens_in, masked_all, rng=rng,
                 style_embeddings=style, context=score_emb, valid_len=valid_len,
@@ -109,6 +128,11 @@ class RenderServer:
         return min(self.max_len, -(-T // self.bucket) * self.bucket)
 
     @staticmethod
+    def _bucketed_batch(B: int) -> int:
+        """Next power of two — compiled programs are reused per batch bucket."""
+        return 1 << max(0, B - 1).bit_length()
+
+    @staticmethod
     def _pad_to(arr: np.ndarray, T_pad: int, value) -> np.ndarray:
         pad = T_pad - arr.shape[0]
         if pad <= 0:
@@ -116,34 +140,39 @@ class RenderServer:
         width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, width, constant_values=value)
 
-    def warmup(self, lengths, greedy_variants=(False,)) -> None:
+    def warmup(self, lengths, greedy_variants=(False,), batch_sizes=(1,)) -> None:
         """Pre-compile the encoder + decode scan for the given padded lengths
-        (dummy PAD inputs, valid_len=1) so requests never see compile latency.
-        `greedy` is a static jit arg — pass greedy_variants=(False, True) to
-        warm both the sampling and the greedy decode paths."""
+        and batch buckets (dummy PAD inputs, valid_len=1) so requests never
+        see compile latency. `greedy` is a static jit arg — pass
+        greedy_variants=(False, True) to warm both the sampling and the
+        greedy decode paths; pass batch_sizes=(1, max_batch) when serving
+        with request coalescing."""
         S = len(self.tokenizer.sizes)
         S_sc = len(getattr(self.tokenizer, "score_sizes", self.tokenizer.sizes))
-        for T in lengths:
-            T_pad = self._bucketed_len(int(T))
-            # distinct buffers for every argument, exactly as a real request
-            # builds them (host->device transfers of numpy arrays)
-            zs = [jnp.asarray(np.zeros((1, T_pad), np.int32)) for _ in range(3)]
-            perf = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
-            score = jnp.asarray(np.zeros((1, T_pad, S_sc), np.int32))
-            mask = jnp.asarray((np.arange(T_pad) < 1)[None])
-            tokens_in = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
-            masked_all = jnp.asarray(np.zeros((1, T_pad, S), np.int32))
-            delta = jnp.asarray(np.zeros(self.style_dim, np.float32))
-            with self._lock:
-                for greedy in greedy_variants:
-                    out = self._render_step(
-                        self.variables, perf, mask, score, mask, *zs,
-                        tokens_in, masked_all, delta, jax.random.PRNGKey(0),
-                        jnp.asarray([1], jnp.int32),
-                        jnp.asarray(1.0, jnp.float32), greedy,
-                    )
-                    jax.block_until_ready(out)
-            self.stats["buckets"].add(T_pad)
+        for B in batch_sizes:
+            B_pad = self._bucketed_batch(int(B))
+            for T in lengths:
+                T_pad = self._bucketed_len(int(T))
+                # distinct buffers for every argument, exactly as a real
+                # request builds them (host->device transfers of numpy arrays)
+                zs = [jnp.asarray(np.zeros((B_pad, T_pad), np.int32)) for _ in range(3)]
+                perf = jnp.asarray(np.zeros((B_pad, T_pad, S), np.int32))
+                score = jnp.asarray(np.zeros((B_pad, T_pad, S_sc), np.int32))
+                mask = jnp.asarray(np.broadcast_to((np.arange(T_pad) < 1)[None], (B_pad, T_pad)).copy())
+                tokens_in = jnp.asarray(np.zeros((B_pad, T_pad, S), np.int32))
+                masked_all = jnp.asarray(np.zeros((B_pad, T_pad, S), np.int32))
+                delta = jnp.asarray(np.zeros((B_pad, self.style_dim), np.float32))
+                with self._lock:
+                    for greedy in greedy_variants:
+                        out = self._render_step(
+                            self.variables, perf, mask, score, mask, *zs,
+                            tokens_in, masked_all, delta, jax.random.PRNGKey(0),
+                            jnp.asarray(np.ones(B_pad, np.int32)),
+                            jnp.asarray(np.ones(B_pad, np.float32)), greedy,
+                        )
+                        jax.block_until_ready(out)
+                self.stats["buckets"].add(T_pad)
+                self.stats["batches"].setdefault(B_pad, 0)
 
     # ---- API ----
 
@@ -162,113 +191,190 @@ class RenderServer:
         encoder's style embeddings before decoding — the reference's
         interactive style steering (generators.py:211-212) exposed globally.
         """
+        return self.render_batch([
+            dict(score_midi=score_midi, temperature=temperature, greedy=greedy,
+                 seed=seed, style_delta=style_delta, output_path=output_path)
+        ])[0]
+
+    def render_batch(self, requests: Sequence[Dict]) -> List[Dict]:
+        """Render several scores in ONE compiled call (dynamic batching).
+
+        Each request dict: {score_midi, temperature?, greedy?, seed?,
+        style_delta?, output_path?}. All requests in a batch must share the
+        `greedy` flag (it is a compiled-program variant — the serve.py
+        coalescer groups by it). Returns one result dict per request, in
+        order.
+        """
+        if not requests:
+            return []
         t_start = time.perf_counter()
-        inputs = prepare_render_inputs(self.tokenizer, score_midi)
-        T = len(inputs["deadpan_ids"])
-        T_pad = self._bucketed_len(T)
+        greedy = bool(requests[0].get("greedy", False))
+        if any(bool(r.get("greedy", False)) != greedy for r in requests):
+            raise ValueError("all requests in a batch must share the greedy flag")
+
+        prepared = [prepare_render_inputs(self.tokenizer, r["score_midi"])
+                    for r in requests]
+        lens = [len(p["deadpan_ids"]) for p in prepared]
+        T_pad = self._bucketed_len(max(lens))
+        B = len(requests)
+        B_pad = self._bucketed_batch(B)
 
         # sentinel segment id for the padded tail: clips to max_segments-1 in
         # the one-hot aggregation, a bucket valid notes essentially never use.
-        # NB: batch dims are added in NUMPY before the transfer — a device-side
-        # `[None]` is an eager broadcast op outside jit, and on remote-compile
-        # TPU platforms every eager op costs a full compile round trip.
+        # NB: batching/padding happens in NUMPY before the transfer — a
+        # device-side pad/broadcast is an eager op outside jit, and on
+        # remote-compile TPU platforms every eager op costs a compile trip.
         sentinel = 10**6
 
-        def dev(arr, value=0):
-            return jnp.asarray(
-                np.ascontiguousarray(self._pad_to(np.asarray(arr), T_pad, value)[None])
-            )
+        def stacked(key, value=0):
+            rows = [self._pad_to(np.asarray(p[key]), T_pad, value) for p in prepared]
+            if B_pad > B:
+                filler = np.full_like(rows[0], value)
+                rows = rows + [filler] * (B_pad - B)
+            return jnp.asarray(np.ascontiguousarray(np.stack(rows)))
 
-        perf = dev(inputs["deadpan_ids"])
-        score = dev(inputs["score_ids"])
-        mask = jnp.asarray((np.arange(T_pad) < T)[None])
-        bars = dev(inputs["bars"], sentinel)
-        beats = dev(inputs["beats"], sentinel)
-        onsets = dev(inputs["onsets"], sentinel)
-        tokens_in = dev(inputs["tokens_in"])
-        masked_all = dev(inputs["masked_all"])
+        perf = stacked("deadpan_ids")
+        score = stacked("score_ids")
+        bars = stacked("bars", sentinel)
+        beats = stacked("beats", sentinel)
+        onsets = stacked("onsets", sentinel)
+        tokens_in = stacked("tokens_in")
+        masked_all = stacked("masked_all")
 
-        if style_delta is not None:
-            delta = np.asarray(style_delta, np.float32).reshape(-1)
-            if delta.shape[0] != self.style_dim:
+        valid = np.asarray(lens + [1] * (B_pad - B), np.int32)
+        mask = jnp.asarray(np.arange(T_pad)[None, :] < valid[:, None])
+
+        deltas = np.zeros((B_pad, self.style_dim), np.float32)
+        for i, r in enumerate(requests):
+            sd = r.get("style_delta")
+            if sd is None:
+                continue
+            d = np.asarray(sd, np.float32).reshape(-1)
+            if d.shape[0] != self.style_dim:
                 raise ValueError(
-                    f"style_delta has {delta.shape[0]} dims, "
+                    f"style_delta has {d.shape[0]} dims, "
                     f"style embedding has {self.style_dim}"
                 )
-        else:
-            delta = np.zeros(self.style_dim, np.float32)
+            deltas[i] = d
+
+        temps = np.asarray(
+            [float(r.get("temperature", 1.0)) for r in requests]
+            + [1.0] * (B_pad - B), np.float32,
+        )
+        seeds = [int(r.get("seed", 0)) for r in requests]
+        rng = jax.random.PRNGKey(seeds[0])
+        for s in seeds[1:]:  # combined stream for a coalesced sampled batch
+            rng = jax.random.fold_in(rng, s)
 
         t_prep = time.perf_counter()
         with self._lock:
             out = self._render_step(
                 self.variables, perf, mask, score, mask, bars, beats, onsets,
-                tokens_in, masked_all, jnp.asarray(delta),
-                jax.random.PRNGKey(seed), jnp.asarray([T], jnp.int32),
-                jnp.asarray(temperature, jnp.float32), greedy,
+                tokens_in, masked_all, jnp.asarray(deltas), rng,
+                jnp.asarray(valid), jnp.asarray(temps), greedy,
             )
-            out_tokens = np.asarray(jax.device_get(out))[0, :T]
+            out_np = np.asarray(jax.device_get(out))
             t_dec = time.perf_counter()
 
-        perf_midi = self.tokenizer.performance_tokens_to_midi(
-            TokSequence(ids=out_tokens), output_path=output_path
-        )
-        self.stats["requests"] += 1
+        self.stats["requests"] += B
         self.stats["buckets"].add(T_pad)
+        self.stats["batches"][B_pad] = self.stats["batches"].get(B_pad, 0) + 1
         ms = lambda a, b: round((b - a) * 1000, 2)  # noqa: E731
-        return {
-            "perf": perf_midi,
-            "notes": int(perf_midi.num_notes),
-            "wall_ms": ms(t_start, time.perf_counter()),
-            "padded_to": T_pad,
-            "timings": {
-                "prepare_ms": ms(t_start, t_prep),
-                "render_ms": ms(t_prep, t_dec),
-                "detok_ms": ms(t_dec, time.perf_counter()),
-            },
-        }
+
+        results = []
+        for i, r in enumerate(requests):
+            perf_midi = self.tokenizer.performance_tokens_to_midi(
+                TokSequence(ids=out_np[i, : lens[i]]),
+                output_path=r.get("output_path"),
+            )
+            results.append({
+                "perf": perf_midi,
+                "notes": int(perf_midi.num_notes),
+                "wall_ms": ms(t_start, time.perf_counter()),
+                "padded_to": T_pad,
+                "batched": B_pad,
+                "timings": {
+                    "prepare_ms": ms(t_start, t_prep),
+                    "render_ms": ms(t_prep, t_dec),
+                    "detok_ms": ms(t_dec, time.perf_counter()),
+                },
+            })
+        return results
+
+    # ---- wire layer ----
+
+    @staticmethod
+    def _parse_request(req: Dict) -> Dict:
+        """JSON request dict -> render_batch request dict (raises on error)."""
+        from ..midi import read_midi
+
+        if "score" in req:
+            score_midi = read_midi(req["score"])
+        elif "score_b64" in req:
+            import base64
+
+            score_midi = read_midi(base64.b64decode(req["score_b64"]))
+        else:
+            raise ValueError("request needs 'score' (path) or 'score_b64'")
+        return dict(
+            score_midi=score_midi,
+            temperature=float(req.get("temperature", 1.0)),
+            greedy=bool(req.get("greedy", False)),
+            seed=int(req.get("seed", 0)),
+            style_delta=req.get("style_delta"),
+            output_path=req.get("out"),
+        )
+
+    def _wire_response(self, rid, req: Dict, result: Dict) -> Dict:
+        resp = {"id": rid, "ok": True, "notes": result["notes"],
+                "wall_ms": result["wall_ms"], "padded_to": result["padded_to"],
+                "batched": result["batched"], "timings": result["timings"]}
+        out_path = req.get("out")
+        if out_path:
+            resp["out"] = out_path
+        else:
+            import base64
+
+            from ..midi import write_midi
+
+            resp["midi_b64"] = base64.b64encode(
+                write_midi(result["perf"], None)
+            ).decode("ascii")
+        return resp
 
     def handle_request(self, req: Dict) -> Dict:
         """One JSON-dict request -> JSON-dict response (wire layer)."""
-        rid = req.get("id")
-        try:
+        return self.handle_batch([req])[0]
+
+    def handle_batch(self, reqs: List[Dict]) -> List[Dict]:
+        """Several JSON-dict requests -> responses, rendered in coalesced
+        batches (one compiled call per greedy-flag group). Per-request parse
+        errors produce per-request error responses; the rest still render."""
+        responses: List[Optional[Dict]] = [None] * len(reqs)
+        parsed = []
+        for i, req in enumerate(reqs):
+            rid = req.get("id")
             if req.get("cmd") == "ping":
-                return {"id": rid, "ok": True, "pong": True,
-                        "requests": self.stats["requests"]}
-
-            from ..midi import read_midi
-
-            if "score" in req:
-                score_midi = read_midi(req["score"])
-            elif "score_b64" in req:
-                import base64
-
-                score_midi = read_midi(base64.b64decode(req["score_b64"]))
-            else:
-                raise ValueError("request needs 'score' (path) or 'score_b64'")
-
-            out_path = req.get("out")
-            result = self.render(
-                score_midi,
-                temperature=float(req.get("temperature", 1.0)),
-                greedy=bool(req.get("greedy", False)),
-                seed=int(req.get("seed", 0)),
-                style_delta=req.get("style_delta"),
-                output_path=out_path,
-            )
-            resp = {"id": rid, "ok": True, "notes": result["notes"],
-                    "wall_ms": result["wall_ms"], "padded_to": result["padded_to"],
-                    "timings": result["timings"]}
-            if out_path:
-                resp["out"] = out_path
-            else:
-                import base64
-
-                from ..midi import write_midi
-
-                resp["midi_b64"] = base64.b64encode(
-                    write_midi(result["perf"], None)
-                ).decode("ascii")
-            return resp
-        except Exception as e:  # noqa: BLE001 — wire boundary, report & keep serving
-            self.stats["errors"] += 1
-            return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+                responses[i] = {"id": rid, "ok": True, "pong": True,
+                                "requests": self.stats["requests"]}
+                continue
+            try:
+                parsed.append((i, self._parse_request(req)))
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                self.stats["errors"] += 1
+                responses[i] = {"id": rid, "ok": False,
+                                "error": f"{type(e).__name__}: {e}"}
+        for greedy in (False, True):
+            group = [(i, r) for i, r in parsed if r["greedy"] == greedy]
+            if not group:
+                continue
+            try:
+                results = self.render_batch([r for _, r in group])
+                for (i, r), result in zip(group, results):
+                    responses[i] = self._wire_response(reqs[i].get("id"), reqs[i], result)
+            except Exception as e:  # noqa: BLE001 — report & keep serving
+                self.stats["errors"] += len(group)
+                for i, _ in group:
+                    responses[i] = {"id": reqs[i].get("id"), "ok": False,
+                                    "error": f"{type(e).__name__}: {e}"}
+        return responses

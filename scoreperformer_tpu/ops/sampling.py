@@ -84,10 +84,18 @@ def apply_temperature(logits: jnp.ndarray, temperature) -> jnp.ndarray:
 
     The skip only fires for a STATIC Python number; a traced temperature
     (e.g. jitted as a server argument) always divides — `!= 1.0` on a
-    tracer is not a Python bool."""
-    if not isinstance(temperature, (int, float)) or temperature != 1.0:
-        return logits / temperature
-    return logits
+    tracer is not a Python bool.
+
+    A non-scalar ``temperature`` is PER-ROW: shape (b,) against logits whose
+    leading dim is the batch (any rank) — the render server's coalesced
+    batches carry one temperature per request."""
+    if isinstance(temperature, (int, float)):
+        return logits if temperature == 1.0 else logits / temperature
+    if getattr(temperature, "ndim", 0) >= 1:
+        temperature = temperature.reshape(
+            temperature.shape[:1] + (1,) * (logits.ndim - 1)
+        )
+    return logits / temperature
 
 
 def filter_logits_and_sample(

@@ -19,6 +19,12 @@ Response: {"id": 1, "ok": true, "out": "out.mid" | "midi_b64": "...",
 
 Scores are padded to length buckets so the compiled encoder + decode scan are
 reused across requests (see scoreperformer_tpu/inference/server.py).
+
+TCP mode with --max-batch N coalesces concurrent requests (within
+--batch-window-ms of the first) into ONE compiled batched render — decode
+throughput scales strongly with batch occupancy on TPU, so N concurrent
+clients cost far less than N sequential renders. Responses carry a "batched"
+field with the batch bucket that served them.
 """
 import argparse
 import json
@@ -47,6 +53,17 @@ def main():
              "reach ~1 GB — serving configs at dim >= 1024)",
     )
     parser.add_argument("--chunk-size", type=int, default=16)
+    parser.add_argument(
+        "--max-batch", type=int, default=1,
+        help="TCP mode: coalesce up to N concurrent requests into one "
+             "compiled batched render (decode throughput scales strongly "
+             "with batch occupancy on TPU)",
+    )
+    parser.add_argument(
+        "--batch-window-ms", type=float, default=5.0,
+        help="how long the coalescer waits for more requests once one "
+             "arrives (only with --max-batch > 1)",
+    )
     args = parser.parse_args()
 
     import os
@@ -74,16 +91,19 @@ def main():
     if args.warmup:
         lengths = [int(x) for x in args.warmup.split(",") if x.strip()]
         variants = (False, True) if args.warmup_greedy else (False,)
-        print(f"warming up {lengths} (greedy={args.warmup_greedy})...",
-              file=sys.stderr, flush=True)
-        server.warmup(lengths, greedy_variants=variants)
+        batches = (1,) if args.max_batch <= 1 else (1, args.max_batch)
+        print(f"warming up {lengths} (greedy={args.warmup_greedy}, "
+              f"batches={batches})...", file=sys.stderr, flush=True)
+        server.warmup(lengths, greedy_variants=variants, batch_sizes=batches)
     print(f"ready (backend={jax.default_backend()}, bucket={args.bucket}, "
           f"max_len={server.max_len})", file=sys.stderr, flush=True)
 
     if args.port is None:
         _serve_stdio(server)
     else:
-        _serve_tcp(server, args.host, args.port)
+        _serve_tcp(server, args.host, args.port,
+                   max_batch=args.max_batch,
+                   window_ms=args.batch_window_ms)
 
 
 def _serve_stdio(server):
@@ -102,8 +122,71 @@ def _serve_stdio(server):
         print(json.dumps(server.handle_request(req)), flush=True)
 
 
-def _serve_tcp(server, host, port):
+class _Coalescer:
+    """Collects concurrent requests into batches for RenderServer.handle_batch.
+
+    One dispatcher thread: the first request opens a window of `window_ms`;
+    whatever arrives before it closes (up to `max_batch`) renders as ONE
+    compiled batched call. Each client handler thread blocks on its own event
+    until its response is filled in.
+    """
+
+    def __init__(self, server, max_batch: int, window_ms: float):
+        import queue
+        import threading
+
+        self.server = server
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, req):
+        import threading
+
+        box, ev = {}, threading.Event()
+        self.q.put((req, box, ev))
+        ev.wait()
+        return box["resp"]
+
+    def stop(self):
+        self.q.put(None)
+
+    def _run(self):
+        import queue
+        import time as _time
+
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = _time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self.q.put(None)  # re-post the stop for after this batch
+                    break
+                batch.append(nxt)
+            resps = self.server.handle_batch([b[0] for b in batch])
+            for (_, box, ev), resp in zip(batch, resps):
+                box["resp"] = resp
+                ev.set()
+
+
+def make_tcp_server(server, host, port, max_batch=1, window_ms=5.0):
+    """Build (but do not start) the threaded TCP server; returns (srv,
+    coalescer-or-None). Split out so tests can drive it in-process."""
     import socketserver
+
+    coalescer = _Coalescer(server, max_batch, window_ms) if max_batch > 1 else None
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -122,7 +205,10 @@ def _serve_tcp(server, host, port):
                         )
                         self.server.shutdown()
                         return
-                    resp = server.handle_request(req)
+                    if coalescer is not None and req.get("cmd") is None:
+                        resp = coalescer.submit(req)
+                    else:
+                        resp = server.handle_request(req)
                 self.wfile.write((json.dumps(resp) + "\n").encode())
                 self.wfile.flush()
 
@@ -130,9 +216,19 @@ def _serve_tcp(server, host, port):
         allow_reuse_address = True
         daemon_threads = True
 
-    with TCPServer((host, port), Handler) as srv:
-        print(f"listening on {host}:{port}", file=sys.stderr, flush=True)
-        srv.serve_forever()
+    return TCPServer((host, port), Handler), coalescer
+
+
+def _serve_tcp(server, host, port, max_batch=1, window_ms=5.0):
+    srv, coalescer = make_tcp_server(server, host, port, max_batch, window_ms)
+    with srv:
+        print(f"listening on {host}:{port} (max_batch={max_batch})",
+              file=sys.stderr, flush=True)
+        try:
+            srv.serve_forever()
+        finally:
+            if coalescer is not None:
+                coalescer.stop()
 
 
 if __name__ == "__main__":

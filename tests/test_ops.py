@@ -156,6 +156,25 @@ class TestSampling:
             np.asarray(apply_temperature(logits, 1.0)), np.asarray(logits)
         )
 
+    def test_per_row_temperature(self):
+        # coalesced server batches carry one temperature per request: a (b,)
+        # array divides each batch row by its own T, at any logits rank
+        from scoreperformer_tpu.ops.sampling import apply_temperature
+
+        logits = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 7))
+        temps = jnp.array([1.0, 0.5, 2.0])
+        out = jax.jit(apply_temperature)(logits, temps)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(logits[i]) / float(temps[i]),
+                rtol=1e-6,
+            )
+        out2d = apply_temperature(logits[:, 0], temps)  # (b, V) rank too
+        np.testing.assert_allclose(
+            np.asarray(out2d), np.asarray(logits[:, 0]) / np.asarray(temps)[:, None],
+            rtol=1e-6,
+        )
+
 
 def test_batched_topk_threshold_matches_streamwise():
     """The batched-sampling kmax trick: taking kmax candidates and reading

@@ -170,6 +170,111 @@ class TestRenderServer:
         assert perf.num_notes == r1["notes"]
 
 
+class TestBatchedRendering:
+    """Dynamic request batching: render_batch stacks requests into ONE
+    compiled call with per-row valid lengths / temperatures / style deltas;
+    greedy outputs must be batch-invariant (rows are independent and padding
+    cannot leak — same property the sharded-decode bit-parity test pins)."""
+
+    def test_render_batch_matches_individual_greedy(self, checkpoint):
+        from scoreperformer_tpu.inference import RenderServer
+        from scoreperformer_tpu.midi import write_midi as wm
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        scores = [
+            synthetic_score(np.random.RandomState(s), n_bars=b)
+            for s, b in [(3, 6), (4, 4), (5, 5)]
+        ]
+        individual = [server.render(sc, greedy=True) for sc in scores]
+        batched = server.render_batch(
+            [dict(score_midi=sc, greedy=True) for sc in scores]
+        )
+        assert batched[0]["batched"] == 4  # 3 requests -> next power of two
+        assert server.stats["batches"].get(4) == 1
+        for ind, bat in zip(individual, batched):
+            assert ind["notes"] == bat["notes"]
+            assert wm(ind["perf"], None) == wm(bat["perf"], None)
+
+    def test_render_batch_per_request_knobs(self, checkpoint):
+        # per-row temperature and per-row style delta in one sampled batch
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        scores = [synthetic_score(np.random.RandomState(s), n_bars=4) for s in (7, 8)]
+        res = server.render_batch([
+            dict(score_midi=scores[0], temperature=0.7, seed=1),
+            dict(score_midi=scores[1], temperature=1.3, seed=2,
+                 style_delta=[0.5] * 20),
+        ])
+        assert len(res) == 2 and all(r["notes"] > 0 for r in res)
+        # identical batch composition reproduces exactly (combined RNG stream)
+        res2 = server.render_batch([
+            dict(score_midi=scores[0], temperature=0.7, seed=1),
+            dict(score_midi=scores[1], temperature=1.3, seed=2,
+                 style_delta=[0.5] * 20),
+        ])
+        from scoreperformer_tpu.midi import write_midi as wm
+
+        for a, b in zip(res, res2):
+            assert wm(a["perf"], None) == wm(b["perf"], None)
+
+    def test_render_batch_rejects_mixed_greedy(self, checkpoint):
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        sc = synthetic_score(np.random.RandomState(1), n_bars=4)
+        with pytest.raises(ValueError, match="greedy"):
+            server.render_batch([
+                dict(score_midi=sc, greedy=True),
+                dict(score_midi=sc, greedy=False),
+            ])
+
+    def test_handle_batch_mixed_and_errors(self, checkpoint, tmp_path):
+        # the wire layer groups by greedy flag and reports per-request errors
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        p = str(tmp_path / "h.mid")
+        write_midi(synthetic_score(np.random.RandomState(2), n_bars=4), p)
+        resps = server.handle_batch([
+            {"id": 1, "score": p, "greedy": True},
+            {"id": 2, "score": "/nonexistent.mid"},
+            {"id": 3, "score": p, "seed": 4},
+            {"id": 4, "cmd": "ping"},
+        ])
+        assert [r["id"] for r in resps] == [1, 2, 3, 4]
+        assert resps[0]["ok"] and resps[2]["ok"] and resps[3]["pong"]
+        assert resps[1]["ok"] is False and "error" in resps[1]
+
+    def test_coalescer_batches_concurrent_requests(self, checkpoint, tmp_path):
+        import threading
+
+        from serve import _Coalescer
+
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512)
+        p = str(tmp_path / "c.mid")
+        write_midi(synthetic_score(np.random.RandomState(6), n_bars=4), p)
+
+        co = _Coalescer(server, max_batch=2, window_ms=5000)
+        results = [None, None]
+
+        def client(i):
+            results[i] = co.submit({"id": i, "score": p, "greedy": True})
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=550)
+        co.stop()
+        assert all(r is not None and r["ok"] for r in results), results
+        # the two concurrent requests rendered as ONE batch-2 compiled call
+        assert server.stats["batches"].get(2) == 1, server.stats["batches"]
+        assert results[0]["batched"] == 2 and results[1]["batched"] == 2
+
+
 def test_serve_stdio_protocol(checkpoint, tmp_path):
     """Drive serve.py end-to-end through its real stdin/stdout surface."""
     score = synthetic_score(np.random.RandomState(3), n_bars=4)
