@@ -37,8 +37,8 @@ DIM_HEAD = 64
 
 
 def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=None,
-                   return_train_inputs=False, dim=DIM, emb_dim=EMB_DIM,
-                   depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
+                   return_train_inputs=False, return_config=False, dim=DIM,
+                   emb_dim=EMB_DIM, depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
                    enc_depth=2, mmd_depth=4, use_flash=False):
     import jax
     import jax.numpy as jnp
@@ -85,7 +85,7 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
                                          "attention": attn, "feed_forward": ff},
                          "lm_head": {"_target_": "lm-tied"}},
     }
-    model, _ = MODELS.get("ScorePerformer")(**cfg)
+    model, model_cfg = MODELS.get("ScorePerformer")(**cfg)
 
     rng = np.random.RandomState(0)
 
@@ -124,7 +124,11 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
         for d in (3, 5, 10, 11):
             labels[..., d] = np.array(perf[..., d])
         train_batch = dict(init_kwargs, perf=perf, labels=jnp.array(labels))
+        if return_config:
+            return model, variables, batch_data, train_batch, model_cfg
         return model, variables, batch_data, train_batch
+    if return_config:
+        return model, variables, batch_data, model_cfg
     return model, variables, batch_data
 
 

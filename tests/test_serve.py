@@ -275,6 +275,27 @@ class TestBatchedRendering:
         assert results[0]["batched"] == 2 and results[1]["batched"] == 2
 
 
+def test_render_cli_multi_score_batched(checkpoint, tmp_path, monkeypatch):
+    """render.py with several scores renders them as ONE coalesced batch."""
+    import render as render_cli
+
+    d = tmp_path / "scores"
+    d.mkdir()
+    for i in range(2):
+        write_midi(synthetic_score(np.random.RandomState(20 + i), n_bars=4),
+                   str(d / f"s{i}.mid"))
+    outdir = tmp_path / "perfs"
+    monkeypatch.setattr(sys, "argv", [
+        "render.py", "--checkpoint", checkpoint, "--score", str(d),
+        "--out", str(outdir), "--greedy", "--bucket", "64",
+    ])
+    render_cli.main()
+    outs = sorted(os.listdir(outdir))
+    assert outs == ["s0.perf.mid", "s1.perf.mid"]
+    for f in outs:
+        assert os.path.getsize(outdir / f) > 0
+
+
 def test_serve_stdio_protocol(checkpoint, tmp_path):
     """Drive serve.py end-to-end through its real stdin/stdout surface."""
     score = synthetic_score(np.random.RandomState(3), n_bars=4)
