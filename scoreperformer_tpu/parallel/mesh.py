@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(
@@ -40,6 +41,16 @@ DEFAULT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*proj_out.*kernel", P(MODEL_AXIS, None)),
     (r".*(to_q|to_k|to_v)\/kernel", P(None, MODEL_AXIS)),
     (r".*to_out\/kernel", P(MODEL_AXIS, None)),
+)
+
+
+# Expert-parallel rules: stacked MoE expert kernels (models/moe.py — leading
+# axis = experts) shard over `expert`; the router stays replicated.
+EXPERT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*_ff/wi", P(EXPERT_AXIS, None, None)),
+    (r".*_ff/wo", P(EXPERT_AXIS, None, None)),
+    (r".*_ff/bi", P(EXPERT_AXIS, None)),
+    (r".*_ff/bo", P(EXPERT_AXIS, None)),
 )
 
 
