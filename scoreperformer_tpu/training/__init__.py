@@ -19,5 +19,12 @@ from .checkpoint import (
 )
 from .components import ExperimentComponents, inject_data_config
 from .evaluator import EVALUATORS, ScorePerformerEvaluator
-from .optimizers import OptimizerConfig, build_lr_schedule, build_optimizer
+from .optimizers import (
+    OptimizerConfig,
+    PlateauController,
+    build_lr_schedule,
+    build_optimizer,
+    get_plateau_scale,
+    set_plateau_scale,
+)
 from .trainer import Accumulator, Trainer, TrainerConfig

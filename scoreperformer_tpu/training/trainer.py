@@ -35,7 +35,13 @@ from .callbacks import (
     TrainerState,
 )
 from .checkpoint import freeze_mask, load_checkpoint, save_checkpoint, warm_start_params
-from .optimizers import OptimizerConfig, build_lr_schedule, build_optimizer
+from .optimizers import (
+    OptimizerConfig,
+    PlateauController,
+    build_lr_schedule,
+    build_optimizer,
+    set_plateau_scale,
+)
 
 
 @dataclass
@@ -245,6 +251,7 @@ class Trainer:
         self.tx = None
         self._train_step = None
         self._eval_step = None
+        self._plateau = None
 
         self.steps_per_epoch = None
         if train_dataset is not None:
@@ -286,6 +293,10 @@ class Trainer:
         self._lr_schedule = build_lr_schedule(
             self.config.optimization, self.steps_per_epoch or 1
         )
+        # host-side plateau annealing (reference trainer.py:269-270 steps
+        # ReduceLROnPlateau with the epoch train loss); the decayed factor is
+        # a scalar leaf of opt_state so the jitted step never retraces
+        self._plateau = PlateauController.from_config(self.config.optimization)
 
     def _build_train_step(self):
         model = self.model
@@ -392,6 +403,8 @@ class Trainer:
                 self.state.epoch = ts.get("epoch", 0.0)
                 self.state.global_step = ts.get("global_step", 0)
                 self.state.best_metric = ts.get("best_metric")
+                if self._plateau is not None and ts.get("plateau") is not None:
+                    self._plateau.load_state_dict(ts["plateau"])
 
     # ---- data ----
 
@@ -504,6 +517,7 @@ class Trainer:
             for epoch in range(start_epoch, config.epochs):
                 self.control._new_epoch()
                 self.callback_handler.on_epoch_begin(config, self.state, self.control)
+                epoch_loss_acc = Accumulator() if self._plateau is not None else None
 
                 for batch in self._iter_batches(
                     self.train_dataset, config.batch_size, config.shuffle, epoch
@@ -527,6 +541,8 @@ class Trainer:
                     # per-step float() would sync the pipeline every step
                     metrics["stats/time"] = time.perf_counter() - t0
                     accumulator.update(metrics)
+                    if epoch_loss_acc is not None:
+                        epoch_loss_acc.update({"loss": metrics["loss"]})
 
                     self.state.global_step += 1
                     if (
@@ -548,6 +564,11 @@ class Trainer:
 
                 self.state.epoch = float(epoch + 1)
                 self.callback_handler.on_epoch_end(config, self.state, self.control)
+                if epoch_loss_acc is not None:
+                    epoch_loss = epoch_loss_acc.means().get("loss")
+                    if epoch_loss is not None:
+                        new_scale = self._plateau.step(epoch_loss)
+                        self.opt_state = set_plateau_scale(self.opt_state, new_scale)
                 self._maybe_log_save_evaluate(accumulator, prefix="train")
 
                 if self.control.should_training_stop:
@@ -577,7 +598,10 @@ class Trainer:
     def _maybe_log_save_evaluate(self, accumulator: Accumulator, prefix: str = "train_step"):
         if self.control.should_log:
             logs = {f"{prefix}/{k}": v for k, v in accumulator.means().items()}
-            logs[f"{prefix}/lr"] = float(self._lr_schedule(self.state.global_step))
+            lr = float(self._lr_schedule(self.state.global_step))
+            if self._plateau is not None:
+                lr *= self._plateau.scale
+            logs[f"{prefix}/lr"] = lr
             # true pipelined throughput (wall clock between log flushes);
             # stats/time above is per-step *dispatch* time only
             now = time.perf_counter()
@@ -659,6 +683,11 @@ class Trainer:
                 "epoch": self.state.epoch,
                 "global_step": self.state.global_step,
                 "best_metric": self.state.best_metric,
+                **(
+                    {"plateau": self._plateau.state_dict()}
+                    if self._plateau is not None
+                    else {}
+                ),
             },
             model_config=to_dict(self.model_config) if self.model_config is not None else None,
         )

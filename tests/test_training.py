@@ -146,6 +146,46 @@ class TestTrainer:
         assert ckpt["trainer_state"]["global_step"] == state.global_step
         assert ckpt["model_config"]["dim"] == 32
 
+    def test_plateau_annealing_in_trainer(self, setup, tmp_path):
+        """lr_scheduler='plateau' decays the opt-state scale leaf at epoch
+        end from the epoch train loss (reference trainer.py:269-270), shows
+        up in the logged lr, and persists through the checkpoint."""
+        from scoreperformer_tpu.training import get_plateau_scale
+
+        dataset, collator, model, model_config = setup
+        config = TrainerConfig(
+            output_dir=str(tmp_path / "run_plateau"),
+            epochs=3,
+            batch_size=4,
+            log_strategy="epoch",
+            eval_strategy="no",
+            save_strategy="no",
+            disable_progress=True,
+            optimization=OptimizerConfig(
+                lr=1e-3, optimizer="adamw", grad_clip=2.0,
+                lr_scheduler="plateau",
+                # threshold 0.9 => an epoch only counts as improved if loss
+                # drops 10x, so every epoch after the first is "bad" and
+                # patience=0 halves the lr each time
+                lr_scheduler_params={"factor": 0.5, "patience": 0,
+                                     "threshold": 0.9},
+            ),
+        )
+        trainer = Trainer(
+            model=model, config=config,
+            train_dataset=dataset, collator=collator,
+            model_config=model_config,
+        )
+        state = trainer.train()
+
+        assert get_plateau_scale(trainer.opt_state) == pytest.approx(0.25)
+        lrs = [l["train/lr"] for l in state.log_history if "train/lr" in l]
+        assert lrs[0] == pytest.approx(1e-3)
+        assert lrs[-1] == pytest.approx(0.25e-3)
+
+        ckpt = load_checkpoint(str(tmp_path / "run_plateau" / "checkpoint_last"))
+        assert ckpt["trainer_state"]["plateau"]["scale"] == pytest.approx(0.25)
+
     def test_checkpoint_roundtrip_and_warm_start(self, setup, tmp_path):
         from scoreperformer_tpu.training import save_checkpoint, warm_start_params
 
