@@ -6,6 +6,7 @@ the performance streams with the compiled MixedLM decoder, and detokenize.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -23,7 +24,16 @@ from ..training.checkpoint import load_checkpoint
 
 def load_model_from_checkpoint(path: str):
     """Rebuild the model from a checkpoint's embedded config
-    (counterpart of models/base.py:42-52 from_pretrained)."""
+    (counterpart of models/base.py:42-52 from_pretrained).
+
+    Accepts either this framework's orbax checkpoint directory or a reference
+    single-file torch checkpoint (`.pt`) — the latter is converted on the fly
+    (training/torch_convert.py), so `render.py`/`serve.py` run reference
+    weights directly."""
+    if os.path.isfile(path):
+        from ..training.torch_convert import import_reference_checkpoint
+
+        return import_reference_checkpoint(path)
     ckpt = load_checkpoint(path)
     assert "model_config" in ckpt, f"checkpoint at {path} carries no model config"
     cfg = build_scoreperformer_config(ckpt["model_config"])

@@ -301,3 +301,70 @@ def export_reference_state_dict(params) -> Dict[str, np.ndarray]:
         # the values are identical by construction (same underlying param)
         sd[name] = arr
     return sd
+
+
+# ---- one-call import of a reference .pt checkpoint ------------------------
+
+
+def _shape_template_for(model, model_cfg: Dict, b: int = 1, t: int = 8):
+    """Parameter-tree template via `jax.eval_shape` over `model.init` — no
+    compute runs, so this is cheap even for the flagship. The dummy batch only
+    fixes structure (stream counts from the injected vocab-size dicts);
+    parameter shapes are fully determined by the config."""
+    import jax
+    import jax.numpy as jnp
+
+    n_perf = len(model_cfg["num_tokens"])
+    perf = jnp.zeros((b, t, n_perf), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    kwargs = dict(perf_mask=mask, masked_perf=perf,
+                  labels=jnp.full((b, t, n_perf), -100, jnp.int32),
+                  bars=jnp.zeros((b, t), jnp.int32),
+                  beats=jnp.zeros((b, t), jnp.int32),
+                  onsets=jnp.zeros((b, t), jnp.int32),
+                  deadpan_mask=jnp.zeros((b,), bool))
+    if model_cfg.get("score_encoder") is not None:
+        n_score = len(model_cfg["num_score_tokens"])
+        kwargs["score"] = jnp.zeros((b, t, n_score), jnp.int32)
+        kwargs["score_mask"] = mask
+    clf = model_cfg.get("classifiers")
+    if clf is not None and clf.get("num_classes"):
+        kwargs["directions"] = jnp.zeros((b, t, len(clf["num_classes"])), jnp.int32)
+
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+
+    shapes = jax.eval_shape(lambda: model.init(rngs, perf, **kwargs))
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["params"])
+
+
+def import_reference_checkpoint(path: str, strict: bool = True):
+    """Load a reference single-file torch checkpoint (trainer.py:296-314
+    layout: {model: {config, state_dict}, ...}) into (model, variables,
+    model_config_dict) of this framework, in one call.
+
+    The embedded model config is the post-injection recipe node (reference
+    model.py:374-394 writes num_tokens / token_values / num_classes into it
+    before training), so it builds our model directly; the state dict goes
+    through `convert_reference_state_dict` (numerically parity-tested)."""
+    import torch
+
+    from ..models import MODELS
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_node = ckpt.get("model") or {}
+    model_cfg = model_node.get("config")
+    if model_cfg is None:
+        raise ValueError(f"{path} carries no embedded model config")
+    state_dict = {
+        k: np.asarray(v.detach().cpu().numpy())
+        for k, v in model_node["state_dict"].items()
+    }
+
+    name = model_cfg.get("_name_", "ScorePerformer")
+    data = {k: v for k, v in model_cfg.items() if not k.startswith("_")}
+    model, cfg = MODELS.get(name)(**data)
+
+    template = _shape_template_for(model, data)
+    params, _ = convert_reference_state_dict(state_dict, template, strict=strict)
+    return model, {"params": params}, cfg

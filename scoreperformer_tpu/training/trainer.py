@@ -408,9 +408,18 @@ class Trainer:
 
     # ---- data ----
 
-    def _iter_batches(self, dataset, batch_size: int, shuffle: bool, epoch: int):
+    def _iter_batches(
+        self, dataset, batch_size: int, shuffle: bool, epoch: int, skip: int = 0
+    ):
         """Host batching with `num_workers` parallel producers: upcoming
-        batches are sampled/collated while the device runs the current step."""
+        batches are sampled/collated while the device runs the current step.
+
+        Every batch is a pure function of (seed, epoch, b): the shuffle order
+        comes from the epoch seed and both the dataset sampling rng AND the
+        collator masking rng are derived per batch index, never from shared
+        sequential state — so producer-thread completion order cannot change
+        training data, and `skip` resumes an interrupted epoch at the exact
+        batch it stopped at (see train())."""
         import threading
 
         n = len(dataset)
@@ -438,7 +447,13 @@ class Trainer:
             else:
                 samples = [dataset[int(i)] for i in idx]
             if has_collator_rng:
+                # per-batch masking rng: reseeding under the lock makes batch
+                # content independent of producer-thread completion order
                 with collator_lock:
+                    self.collator._rng = np.random.RandomState(
+                        (self.config.seed * 9_999_991 + epoch * 104_729 + b * 7919 + 1)
+                        % (2**31 - 1)
+                    )
                     batch = self.input_fn(self.collator(samples))
             else:
                 batch = self.input_fn(self.collator(samples))
@@ -450,18 +465,19 @@ class Trainer:
         # reproducibility is preserved by the epoch reseed, not sample order.
         from concurrent.futures import ThreadPoolExecutor
 
+        skip = min(max(0, int(skip)), num_batches)
         workers = max(1, int(getattr(self.config, "num_workers", 4)))
         if workers == 1:
-            for b in range(num_batches):
+            for b in range(skip, num_batches):
                 yield make(b)
             return
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
             inflight = {}
             depth = workers + 1
-            for b in range(min(depth, num_batches)):
+            for b in range(skip, min(skip + depth, num_batches)):
                 inflight[b] = pool.submit(make, b)
-            for b in range(num_batches):
+            for b in range(skip, num_batches):
                 batch = inflight.pop(b).result()
                 nxt = b + depth
                 if nxt < num_batches:
@@ -511,6 +527,15 @@ class Trainer:
 
         accumulator = Accumulator()
         start_epoch = int(self.state.epoch)
+        # exact mid-epoch resume: if the restored global_step sits inside
+        # start_epoch, skip the batches already consumed — batch content is a
+        # pure function of (seed, epoch, b), so the remaining stream is
+        # bit-identical to the uninterrupted run's
+        resume_skip = 0
+        if self.steps_per_epoch:
+            done_in_epoch = self.state.global_step - start_epoch * self.steps_per_epoch
+            if 0 < done_in_epoch < self.steps_per_epoch:
+                resume_skip = done_in_epoch
         self._last_log_time = time.perf_counter()
         self._last_log_step = self.state.global_step
         try:
@@ -520,7 +545,11 @@ class Trainer:
                 epoch_loss_acc = Accumulator() if self._plateau is not None else None
 
                 for batch in self._iter_batches(
-                    self.train_dataset, config.batch_size, config.shuffle, epoch
+                    self.train_dataset,
+                    config.batch_size,
+                    config.shuffle,
+                    epoch,
+                    skip=resume_skip if epoch == start_epoch else 0,
                 ):
                     self.control._new_step()
                     self.callback_handler.on_step_begin(config, self.state, self.control)
@@ -562,9 +591,17 @@ class Trainer:
                     if self.control.should_training_stop or self.control.should_epoch_stop:
                         break
 
-                self.state.epoch = float(epoch + 1)
+                # a should_training_stop mid-epoch (preemption, early stop)
+                # must NOT round state.epoch up: the fractional epoch is what
+                # lets resume skip exactly the consumed batches
+                stopped_mid_epoch = bool(self.steps_per_epoch) and (
+                    self.control.should_training_stop
+                    and self.state.global_step % self.steps_per_epoch != 0
+                )
+                if not stopped_mid_epoch:
+                    self.state.epoch = float(epoch + 1)
                 self.callback_handler.on_epoch_end(config, self.state, self.control)
-                if epoch_loss_acc is not None:
+                if epoch_loss_acc is not None and not stopped_mid_epoch:
                     epoch_loss = epoch_loss_acc.means().get("loss")
                     if epoch_loss is not None:
                         new_scale = self._plateau.step(epoch_loss)

@@ -656,3 +656,73 @@ class TestNumericParityEncoder:
         np.testing.assert_allclose(
             np.asarray(out.embeddings), ref_embeddings.numpy(), rtol=1e-5, atol=1e-5
         )
+
+
+class TestImportReferenceCheckpoint:
+    def test_one_call_import_and_render_path(self, model_and_params, tmp_path):
+        """A reference single-file .pt (trainer.py:296-314 layout) loads in
+        one call: model rebuilt from the embedded config, weights converted —
+        and `load_model_from_checkpoint` dispatches on it so render/serve
+        CLIs accept reference checkpoints directly."""
+        torch = pytest.importorskip("torch")
+
+        from scoreperformer_tpu.training.torch_convert import (
+            import_reference_checkpoint,
+        )
+
+        tm, model, params, batch = model_and_params
+        sd, flat = synthesize_torch_state_dict(params, np.random.RandomState(7))
+
+        ckpt_path = str(tmp_path / "reference_checkpoint.pt")
+        torch.save(
+            {
+                "experiment": {"config": None, "trainer": None, "state": None},
+                "model": {
+                    "config": {"_name_": "ScorePerformer", **tm.model_config()},
+                    "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                   for k, v in sd.items()},
+                },
+            },
+            ckpt_path,
+        )
+
+        model2, variables2, cfg2 = import_reference_checkpoint(ckpt_path)
+
+        # imported params match a direct conversion against the real template
+        expected, missing = convert_reference_state_dict(sd, params, strict=True)
+        assert not missing
+
+        def flatten(tree, prefix=()):
+            out = {}
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    out.update(flatten(v, prefix + (k,)))
+            else:
+                out[prefix] = tree
+            return out
+
+        got, want = flatten(variables2["params"]), flatten(expected)
+        assert set(got) == set(want)
+        for path in want:
+            np.testing.assert_array_equal(np.asarray(got[path]), np.asarray(want[path]),
+                                          err_msg=".".join(path))
+
+        # the rebuilt model runs a forward with the imported weights
+        out = model2.apply(
+            variables2, batch["perf"], perf_mask=batch["mask"],
+            score=batch["score"], score_mask=batch["mask"],
+            masked_perf=batch["masked_perf"], labels=batch["labels"],
+            bars=batch["bars"], beats=batch["beats"], onsets=batch["onsets"],
+            directions=batch["directions"], deadpan_mask=batch["deadpan"],
+            deterministic=True, rngs={"mmd": jax.random.PRNGKey(0)},
+        )
+        assert np.isfinite(float(out.loss))
+
+        # the inference loader dispatches files to the importer
+        from scoreperformer_tpu.inference.render import load_model_from_checkpoint
+
+        model3, variables3, cfg3 = load_model_from_checkpoint(ckpt_path)
+        assert cfg3.dim == cfg2.dim
+        leaf3 = flatten(variables3["params"])
+        for path in want:
+            np.testing.assert_array_equal(np.asarray(leaf3[path]), np.asarray(want[path]))

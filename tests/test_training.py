@@ -186,6 +186,82 @@ class TestTrainer:
         ckpt = load_checkpoint(str(tmp_path / "run_plateau" / "checkpoint_last"))
         assert ckpt["trainer_state"]["plateau"]["scale"] == pytest.approx(0.25)
 
+    def test_mid_epoch_resume_exact_stream(self, setup, tmp_path):
+        """Preemption mid-epoch + resume consumes the EXACT remaining batch
+        stream of the uninterrupted run: batch content is a pure function of
+        (seed, epoch, batch_index) — shuffle order, per-sample jitter, and
+        collator masking included — and resume skips the consumed prefix."""
+        from scoreperformer_tpu.training.callbacks import TrainerCallback
+
+        dataset, collator, model, model_config = setup
+
+        def fingerprint(batch):
+            leaves = jax.device_get(jax.tree.leaves(batch))
+            return tuple(float(np.asarray(x).astype(np.float64).sum()) for x in leaves)
+
+        def record(trainer, store):
+            orig = trainer._iter_batches
+
+            def wrapped(*a, **k):
+                for batch in orig(*a, **k):
+                    store.append(fingerprint(batch))
+                    yield batch
+
+            trainer._iter_batches = wrapped
+
+        def make_config(resume=None):
+            return TrainerConfig(
+                output_dir=str(tmp_path / "run_resume"),
+                epochs=2,
+                batch_size=4,
+                log_strategy="no",
+                eval_strategy="no",
+                save_strategy="no",
+                save_optimizer=True,
+                disable_progress=True,
+                resume_from_checkpoint=resume,
+                optimization=OptimizerConfig(lr=1e-3, optimizer="adamw"),
+            )
+
+        def make_trainer(resume=None, callbacks=None):
+            return Trainer(
+                model=model, config=make_config(resume),
+                train_dataset=dataset, collator=collator,
+                model_config=model_config, callbacks=callbacks,
+            )
+
+        # uninterrupted run
+        trainer_a = make_trainer()
+        stream_a = []
+        record(trainer_a, stream_a)
+        state_a = trainer_a.train()
+        spe = trainer_a.steps_per_epoch
+        assert spe >= 2 and state_a.global_step == 2 * spe
+
+        # interrupted run: stop after 2 steps into epoch 1
+        stop_at = spe + 2 if spe > 2 else spe + 1
+
+        class StopAt(TrainerCallback):
+            def on_step_end(self, config, state, control, **kw):
+                if state.global_step >= stop_at:
+                    control.should_training_stop = True
+
+        trainer_b = make_trainer(callbacks=[StopAt()])
+        stream_b = []
+        record(trainer_b, stream_b)
+        state_b = trainer_b.train()
+        assert state_b.global_step == stop_at
+        assert stream_b == stream_a[:stop_at]
+
+        # resumed run: picks up at the exact next batch
+        ckpt = str(tmp_path / "run_resume" / "checkpoint_last")
+        trainer_c = make_trainer(resume=ckpt)
+        stream_c = []
+        record(trainer_c, stream_c)
+        state_c = trainer_c.train()
+        assert state_c.global_step == 2 * spe
+        assert stream_c == stream_a[stop_at:]
+
     def test_checkpoint_roundtrip_and_warm_start(self, setup, tmp_path):
         from scoreperformer_tpu.training import save_checkpoint, warm_start_params
 
