@@ -38,6 +38,15 @@ class FeedForwardConfig(ModuleConfig):
     post_act_ln: bool = False
     dropout: float = 0.0
     no_bias: bool = True
+    # Mixture-of-Experts (models/moe.py — beyond reference parity, see
+    # SURVEY §2.8): num_experts > 1 replaces every `moe_stride`-th
+    # feed-forward with a routed MoE layer (stride 2 = GShard every-other).
+    num_experts: int = 0
+    expert_top_k: int = 2
+    capacity_factor: float = 1.25
+    moe_stride: int = 1
+    router_aux_weight: float = 1e-2
+    router_z_weight: float = 0.0
 
 
 @dataclass
@@ -76,6 +85,7 @@ class TransformerStack(nn.Module):
         self.layer_types = cfg.layer_types()
 
         layers = []
+        ff_ord = 0
         for ind, layer_type in enumerate(self.layer_types):
             if layer_type == "a":
                 layer = Attention(
@@ -108,16 +118,37 @@ class TransformerStack(nn.Module):
                     name=f"layer_{ind}_cross",
                 )
             else:
-                layer = FeedForward(
-                    dim=cfg.dim,
-                    mult=cfg.feed_forward.mult,
-                    glu=cfg.feed_forward.glu,
-                    swish=cfg.feed_forward.swish,
-                    post_act_ln=cfg.feed_forward.post_act_ln,
-                    dropout=cfg.feed_forward.dropout,
-                    no_bias=cfg.feed_forward.no_bias,
-                    name=f"layer_{ind}_ff",
-                )
+                ff = cfg.feed_forward
+                stride = max(1, int(ff.moe_stride))
+                if ff.num_experts > 1 and ff_ord % stride == stride - 1:
+                    from .moe import MoEFeedForward
+
+                    layer = MoEFeedForward(
+                        dim=cfg.dim,
+                        num_experts=ff.num_experts,
+                        mult=ff.mult,
+                        top_k=ff.expert_top_k,
+                        capacity_factor=ff.capacity_factor,
+                        glu=ff.glu,
+                        swish=ff.swish,
+                        dropout=ff.dropout,
+                        no_bias=ff.no_bias,
+                        router_aux_weight=ff.router_aux_weight,
+                        router_z_weight=ff.router_z_weight,
+                        name=f"layer_{ind}_ff",
+                    )
+                else:
+                    layer = FeedForward(
+                        dim=cfg.dim,
+                        mult=ff.mult,
+                        glu=ff.glu,
+                        swish=ff.swish,
+                        post_act_ln=ff.post_act_ln,
+                        dropout=ff.dropout,
+                        no_bias=ff.no_bias,
+                        name=f"layer_{ind}_ff",
+                    )
+                ff_ord += 1
             layers.append(layer)
         self.layers = layers
 

@@ -20,14 +20,22 @@ EXPERT_AXIS = "expert"
 
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, devices=None
+    data: Optional[int] = None, model: int = 1, expert: int = 1, devices=None
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices; with
+    ``expert > 1`` a third `expert` axis is appended (MoE layers —
+    models/moe.py — shard their stacked expert kernels and dispatched
+    activations over it)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        data = n // (model * expert)
+    assert data * model * expert == n, (
+        f"mesh {data}x{model}x{expert} != {n} devices"
+    )
+    if expert > 1:
+        device_array = np.asarray(devices).reshape(data, model, expert)
+        return Mesh(device_array, (DATA_AXIS, MODEL_AXIS, EXPERT_AXIS))
     device_array = np.asarray(devices).reshape(data, model)
     return Mesh(device_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -47,10 +55,10 @@ DEFAULT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
 # Expert-parallel rules: stacked MoE expert kernels (models/moe.py — leading
 # axis = experts) shard over `expert`; the router stays replicated.
 EXPERT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*_ff/wi", P(EXPERT_AXIS, None, None)),
-    (r".*_ff/wo", P(EXPERT_AXIS, None, None)),
-    (r".*_ff/bi", P(EXPERT_AXIS, None)),
-    (r".*_ff/bo", P(EXPERT_AXIS, None)),
+    (r"(.*/)?wi", P(EXPERT_AXIS, None, None)),
+    (r"(.*/)?wo", P(EXPERT_AXIS, None, None)),
+    (r"(.*/)?bi", P(EXPERT_AXIS, None)),
+    (r"(.*/)?bo", P(EXPERT_AXIS, None)),
 )
 
 
@@ -66,9 +74,12 @@ def _path_str(path) -> str:
 
 
 def params_shardings(params, mesh: Mesh, rules=DEFAULT_PARTITION_RULES):
-    """NamedSharding tree matching `params` (replicate by default)."""
+    """NamedSharding tree matching `params` (replicate by default). Expert
+    rules engage automatically when the mesh carries an `expert` axis."""
     if mesh.shape.get(MODEL_AXIS, 1) <= 1:
         rules = ()
+    if mesh.shape.get(EXPERT_AXIS, 1) > 1:
+        rules = tuple(rules) + EXPERT_PARTITION_RULES
 
     def spec(path, leaf):
         p = partition_spec_for(_path_str(path), rules)
@@ -145,6 +156,65 @@ def shard_seq_activations(x):
     data_n = s.mesh.shape.get(DATA_AXIS, 1)
     model_n = s.mesh.shape.get(MODEL_AXIS, 1)
     if model_n <= 1 or x.shape[0] % data_n or x.shape[1] % model_n:
+        return x
+    return jax.lax.with_sharding_constraint(x, s)
+
+
+# ---------------------------------------------------------------------------
+# Expert-parallel activation sharding (GShard dataflow).
+#
+# MoE layers (models/moe.py) dispatch tokens into a static-capacity
+# (experts, batch, capacity, dim) tensor with batched einsums. Constraining
+# that tensor to P(expert, data, None, None) while the expert kernels are
+# sharded P(expert, ...) makes XLA insert the all-to-alls over ICI and run
+# each expert's matmuls only on the devices owning it. Installed by the
+# trainer / dryrun when the mesh has an `expert` axis; `shard_expert_acts`
+# is a no-op otherwise, so the layer stays mesh-agnostic.
+# ---------------------------------------------------------------------------
+
+_EXPERT_SHARDING: Optional[NamedSharding] = None
+
+
+def expert_sharding(mesh: Mesh) -> NamedSharding:
+    """(experts, batch, capacity, dim) dispatched activations: experts over
+    `expert`, batch over `data`."""
+    return NamedSharding(mesh, P(EXPERT_AXIS, DATA_AXIS, None, None))
+
+
+def set_expert_sharding(sharding: Optional[NamedSharding]) -> None:
+    """Install (or clear, with None) the sharding applied by
+    `shard_expert_acts` at trace time."""
+    global _EXPERT_SHARDING
+    _EXPERT_SHARDING = sharding
+
+
+class expert_parallel:
+    """Context manager: install an expert-parallel activation sharding for
+    the duration of a trace (tests / ad-hoc jits)."""
+
+    def __init__(self, mesh: Mesh):
+        self.sharding = expert_sharding(mesh)
+
+    def __enter__(self):
+        self._prev = _EXPERT_SHARDING
+        set_expert_sharding(self.sharding)
+        return self.sharding
+
+    def __exit__(self, *exc):
+        set_expert_sharding(self._prev)
+        return False
+
+
+def shard_expert_acts(x):
+    """Constrain an (experts, batch, capacity, dim) dispatched-activation
+    tensor to the installed expert sharding; identity when none is installed
+    or the static shape does not divide the mesh axes."""
+    s = _EXPERT_SHARDING
+    if s is None or getattr(x, "ndim", 0) != 4:
+        return x
+    expert_n = s.mesh.shape.get(EXPERT_AXIS, 1)
+    data_n = s.mesh.shape.get(DATA_AXIS, 1)
+    if expert_n <= 1 or x.shape[0] % expert_n or x.shape[1] % data_n:
         return x
     return jax.lax.with_sharding_constraint(x, s)
 

@@ -90,6 +90,9 @@ class TrainerConfig(ModuleConfig):
     # TPU-native additions
     mesh_data: Optional[int] = None  # None = all devices on the data axis
     mesh_model: int = 1
+    # expert-parallel mesh axis for MoE configs (models/moe.py): shards
+    # stacked expert kernels + dispatched activations over `expert`
+    mesh_expert: int = 1
     # multi-host (DCN) execution (SURVEY §2.8 backend row): run
     # jax.distributed.initialize() at process start, build the mesh over
     # GLOBAL devices, and assemble host-local batches into global arrays via
@@ -202,17 +205,19 @@ class Trainer:
         import math as _math
 
         n_devices = len(jax.devices())
+        non_data = config.mesh_model * config.mesh_expert
         data_axis = config.mesh_data
         if data_axis is None:
-            data_axis = n_devices // config.mesh_model
+            data_axis = n_devices // non_data
             batch_gcd = _math.gcd(config.batch_size, config.eval_batch_size)
             data_axis = _math.gcd(data_axis, batch_gcd) or 1
-        if data_axis * config.mesh_model < n_devices:
+        if data_axis * non_data < n_devices:
             import warnings
 
             warnings.warn(
-                f"mesh ({data_axis} data x {config.mesh_model} model) engages only "
-                f"{data_axis * config.mesh_model} of {n_devices} devices: the data axis "
+                f"mesh ({data_axis} data x {config.mesh_model} model x "
+                f"{config.mesh_expert} expert) engages only "
+                f"{data_axis * non_data} of {n_devices} devices: the data axis "
                 f"is limited by gcd(batch={config.batch_size}, eval_batch="
                 f"{config.eval_batch_size}). Set mesh_data explicitly or pick batch "
                 "sizes divisible by the device count to use all devices.",
@@ -221,13 +226,18 @@ class Trainer:
         self.mesh = make_mesh(
             data_axis,
             config.mesh_model,
-            devices=jax.devices()[: data_axis * config.mesh_model],
+            expert=config.mesh_expert,
+            devices=jax.devices()[: data_axis * non_data],
         )
         self._batch_sharding = batch_sharding(self.mesh)
         if config.sequence_parallel and config.mesh_model > 1:
             from ..parallel import sequence_parallel_sharding, set_activation_sharding
 
             set_activation_sharding(sequence_parallel_sharding(self.mesh))
+        if config.mesh_expert > 1:
+            from ..parallel import expert_sharding, set_expert_sharding
+
+            set_expert_sharding(expert_sharding(self.mesh))
 
         self.state = TrainerState()
         self.control = TrainerControl()
@@ -314,8 +324,21 @@ class Trainer:
             opt_shardings = opt_state_shardings(self.opt_state, self.mesh)
 
         def forward(p, batch, rngs):
-            out = model.apply({"params": p}, **batch, deterministic=False, rngs=rngs)
-            return out.loss.astype(jnp.float32), out.losses
+            # mutable=["losses"] collects aux losses sown by MoE layers
+            # (models/moe.py router load-balance / z-loss); empty and free
+            # for dense models
+            out, mut = model.apply(
+                {"params": p}, **batch, deterministic=False, rngs=rngs,
+                mutable=["losses"],
+            )
+            loss = out.loss.astype(jnp.float32)
+            losses = dict(out.losses)
+            sown = jax.tree.leaves(mut.get("losses", {}))
+            if sown:
+                aux = sum(v.astype(jnp.float32) for v in sown)
+                loss = loss + aux
+                losses["loss/moe_aux"] = aux
+            return loss, losses
 
         if remat:
             # trade recompute for activation memory (HBM): the backward pass
@@ -360,8 +383,14 @@ class Trainer:
         def eval_step(params, batch, rng):
             rngs = {"mmd": rng}
             p_c = _cast_tree(params, jnp.bfloat16) if bf16 else params
-            out = model.apply({"params": p_c}, **batch, deterministic=True, rngs=rngs)
+            out, mut = model.apply(
+                {"params": p_c}, **batch, deterministic=True, rngs=rngs,
+                mutable=["losses"],
+            )
             metrics = {"loss": out.loss.astype(jnp.float32)}
+            sown = jax.tree.leaves(mut.get("losses", {}))
+            if sown:
+                metrics["loss/moe_aux"] = sum(v.astype(jnp.float32) for v in sown)
             metrics.update({k: v.astype(jnp.float32) for k, v in out.losses.items()})
             if evaluator is not None and "labels" in batch:
                 metrics.update(evaluator(batch["labels"], out.perf_decoder.logits))
@@ -629,6 +658,10 @@ class Trainer:
                 from ..parallel import set_activation_sharding
 
                 set_activation_sharding(None)  # don't leak into later traces
+            if config.mesh_expert > 1:
+                from ..parallel import set_expert_sharding
+
+                set_expert_sharding(None)
 
         return self.state
 
