@@ -69,19 +69,20 @@ def get_performance_beats(
     position_pairs = np.asarray(position_pairs, dtype=np.float64)
 
     if monotonic_times:
-        mono = [position_pairs[0]]
-        cur_pair = prev_pair = position_pairs[0]
-        for pair in position_pairs[1:]:
-            min_shift_time = (pair[0] - cur_pair[0]) / ticks_per_beat / 10  # tempo 600
-            if (
-                pair[0] != prev_pair[0]
-                and pair[1] > prev_pair[1]
-                and pair[1] > cur_pair[1] + min_shift_time
-            ):
-                mono.append(pair)
-                cur_pair = pair
-            prev_pair = pair
-        position_pairs = np.array(mono)
+        # Keep only pairs that advance both tick and time relative to their
+        # input predecessor, AND whose implied tempo relative to the last
+        # *kept* pair stays under 600 BPM (time must grow by at least
+        # tick_delta / ticks_per_beat / 10 seconds).
+        ticks, times = position_pairs[:, 0], position_pairs[:, 1]
+        kept = [0]
+        for j in range(1, len(position_pairs)):
+            if ticks[j] == ticks[j - 1] or times[j] <= times[j - 1]:
+                continue
+            anchor = kept[-1]
+            time_floor = times[anchor] + (ticks[j] - ticks[anchor]) / (10.0 * ticks_per_beat)
+            if times[j] > time_floor:
+                kept.append(j)
+        position_pairs = position_pairs[np.asarray(kept)]
 
     score_beats = np.asarray(score_beats, dtype=np.float64)
     if max_tick is not None and max_time is not None:

@@ -7,15 +7,43 @@ fully vectorized.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..utils import find_closest
 from .beats import get_bar_beat_ticks, get_inter_beat_interval, get_performance_beats
-from .containers import Marker, MidiScore, NoteArray, TempoMap, Track
+from .containers import Marker, MidiScore, NoteArray, TempoMap, TimeSigMap, Track
 from .ops import filter_late_events
 from .timing import notes_to_absolute_timing, notes_to_symbolic_timing, score_tick_to_time_map
+
+
+def _sync_unit_spans(
+    time_sigs: TimeSigMap, score_tpb: int, bar_sync: bool
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per time-signature span of one sync unit (a bar if ``bar_sync`` else a
+    beat): its length in score ticks and in quarter notes.
+
+    Returns ``(sig_start_ticks, span_ticks, span_quarters)``, each of length
+    ``len(time_sigs)``.
+    """
+    n = len(time_sigs)
+    span_ticks = np.empty(n, dtype=np.float64)
+    span_quarters = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        num, den = int(time_sigs.numerator[i]), int(time_sigs.denominator[i])
+        quarters_per_bar = 4.0 * num / den
+        bar_ticks = int(score_tpb * quarters_per_bar)
+        beat_ticks = get_inter_beat_interval(num, den, ticks_per_beat=score_tpb)
+        beats_per_bar = bar_ticks / beat_ticks
+        beat_quarters = quarters_per_bar / beats_per_bar
+        if bar_sync:
+            span_ticks[i] = beat_ticks * beats_per_bar
+            span_quarters[i] = beat_quarters * beats_per_bar
+        else:
+            span_ticks[i] = beat_ticks
+            span_quarters[i] = beat_quarters
+    return time_sigs.time.astype(np.float64), span_ticks, span_quarters
 
 
 def sync_performance_midi(
@@ -34,65 +62,44 @@ def sync_performance_midi(
     perf_midi = perf_midi if inplace else perf_midi.copy()
 
     filter_late_events(perf_midi)
-    max_tick = score_midi.max_tick
 
-    if not is_absolute_timing:
-        tick_to_time = score_tick_to_time_map(perf_midi)
-        max_time = tick_to_time[-1]
-    else:
+    if is_absolute_timing:
         assert max_time is not None, "`max_time` required for absolute-timing MIDI"
         tick_to_time = None
+    else:
+        tick_to_time = score_tick_to_time_map(perf_midi)
+        max_time = tick_to_time[-1]
 
+    # align score bar/beat ticks with performance wall-clock times
     score_bars, score_beats = get_bar_beat_ticks(score_midi)
-    score_onsets = score_bars if bar_sync else score_beats
-    score_onsets, perf_onsets = get_performance_beats(
-        score_onsets,
+    grid_onsets, perf_onsets = get_performance_beats(
+        score_bars if bar_sync else score_beats,
         onset_pairs,
-        max_tick=max_tick - 1,
+        max_tick=score_midi.max_tick - 1,
         max_time=max_time,
         monotonic_times=True,
         ticks_per_beat=ticks_per_beat,
     )
-    perf_shift = perf_onsets[0]
-    perf_onsets = perf_onsets - perf_shift
-    max_time = max_time - perf_shift
 
-    perf_score_tick_ratio = ticks_per_beat / score_midi.ticks_per_beat
+    # rebase wall-clock so the first synced onset is t=0
+    time_origin = perf_onsets[0]
+    perf_onsets = perf_onsets - time_origin
+    max_time = max_time - time_origin
 
-    time_sigs = score_midi.time_sigs
-    time_sig_ticks = time_sigs.time.astype(np.float64)
-    quarter_note_factors = 4.0 * time_sigs.numerator / time_sigs.denominator
-    inter_onset_intervals = np.array(
-        [
-            get_inter_beat_interval(
-                int(time_sigs.numerator[i]),
-                int(time_sigs.denominator[i]),
-                ticks_per_beat=score_midi.ticks_per_beat,
-            )
-            for i in range(len(time_sigs))
-        ],
-        dtype=np.float64,
-    )
-    inter_beat_intervals = inter_onset_intervals
-
-    ticks_per_bar = (score_midi.ticks_per_beat * quarter_note_factors).astype(np.int64)
-    beats_per_bar = ticks_per_bar / inter_beat_intervals
-    ioi_in_quarters = quarter_note_factors / beats_per_bar
-
-    if bar_sync:
-        inter_onset_intervals = inter_onset_intervals * beats_per_bar
-        ioi_in_quarters = ioi_in_quarters * beats_per_bar
-
-    # tempi from onset intervals
-    intervals = np.diff(perf_onsets)
-    if np.any(intervals <= 0.0):
+    onset_gaps_sec = np.diff(perf_onsets)
+    if np.any(onset_gaps_sec <= 0.0):
         return None
 
-    time_sig_indices = (np.searchsorted(time_sig_ticks, score_onsets, side="right") - 1)[:-1]
-    inter_onset_ratios = np.diff(score_onsets) / inter_onset_intervals[time_sig_indices]
-    tempos = 60.0 / intervals * ioi_in_quarters[time_sig_indices] * inter_onset_ratios
+    # per-gap sync-unit spans, looked up through the active time signature
+    sig_ticks, span_ticks, span_quarters = _sync_unit_spans(
+        score_midi.time_sigs, score_midi.ticks_per_beat, bar_sync
+    )
+    gap_sig = (np.searchsorted(sig_ticks, grid_onsets, side="right") - 1)[:-1]
+    # fraction of a full sync unit each score gap covers (e.g. pickup bars < 1)
+    gap_scale = np.diff(grid_onsets) / span_ticks[gap_sig]
+    bpm = 60.0 / onset_gaps_sec * span_quarters[gap_sig] * gap_scale
 
-    # absolute note timing of all tracks
+    # absolute (wall-clock) note timing of all tracks
     abs_tracks = []
     for track in perf_midi.tracks:
         if is_absolute_timing:
@@ -103,54 +110,55 @@ def sync_performance_midi(
                 np.asarray(track.notes.end, np.float64),
             )
         else:
-            abs_notes = notes_to_absolute_timing(track.notes, tick_to_time, -perf_shift)
+            abs_notes = notes_to_absolute_timing(track.notes, tick_to_time, -time_origin)
         abs_tracks.append((track, abs_notes))
 
-    # new time grid: each inter-onset interval divided uniformly into its tick count
-    scaled_iois = inter_onset_intervals[time_sig_indices] * perf_score_tick_ratio * inter_onset_ratios
-    resample_timing = []
-    for i in range(len(perf_onsets) - 1):
-        resample_timing.append(
-            np.linspace(perf_onsets[i], perf_onsets[i + 1], int(scaled_iois[i]) + 1)[:-1]
-        )
-    resample_timing.append([max_time])
-    resample_timing = np.round(np.concatenate(resample_timing), 6)
+    # new tick grid: each onset gap divided uniformly into its target tick count
+    tick_scale = ticks_per_beat / score_midi.ticks_per_beat
+    gap_tick_counts = span_ticks[gap_sig] * tick_scale * gap_scale
+    segments = [
+        np.linspace(perf_onsets[i], perf_onsets[i + 1], int(gap_tick_counts[i]) + 1)[:-1]
+        for i in range(len(perf_onsets) - 1)
+    ]
+    segments.append(np.asarray([max_time]))
+    grid_times = np.round(np.concatenate(segments), 6)
 
-    midi = MidiScore(ticks_per_beat=ticks_per_beat)
+    synced = MidiScore(ticks_per_beat=ticks_per_beat)
 
-    # absolute → symbolic on the new grid
+    # wall-clock → symbolic on the new grid
     for track, abs_notes in abs_tracks:
-        sym_notes = notes_to_symbolic_timing(abs_notes, resample_timing)
-        midi.tracks.append(
-            Track(notes=sym_notes, program=track.program, is_drum=track.is_drum, name=track.name)
+        synced.tracks.append(
+            Track(
+                notes=notes_to_symbolic_timing(abs_notes, grid_times),
+                program=track.program,
+                is_drum=track.is_drum,
+                name=track.name,
+            )
         )
 
     # markers: re-grid marker times (only meaningful with symbolic input)
     markers = []
     if tick_to_time is not None:
+
+        def _regrid(tick: int) -> int:
+            return int(find_closest(grid_times, float(tick_to_time[tick]) - time_origin))
+
         for marker in perf_midi.markers:
-            new_time = int(
-                find_closest(resample_timing, float(tick_to_time[marker.time]) - perf_shift)
-            )
             text = marker.text
             if text.startswith("NoteI"):
                 pitch, start, end = map(int, text.split("_")[1:])
-                start, end = (
-                    int(find_closest(resample_timing, float(tick_to_time[x]) - perf_shift))
-                    for x in (start, end)
-                )
-                text = f"NoteI_{pitch}_{start}_{end}"
-            markers.append(Marker(new_time, text))
+                text = f"NoteI_{pitch}_{_regrid(start)}_{_regrid(end)}"
+            markers.append(Marker(_regrid(marker.time), text))
 
-    # tempo changes tied to the resampled grid
-    onset_ticks = find_closest(resample_timing, perf_onsets)
-    keep = onset_ticks[:-1] < resample_timing.shape[0]
-    midi.tempos = TempoMap(onset_ticks[:-1][keep], tempos[keep])
+    # tempo changes pinned to the grid ticks of the synced onsets
+    onset_grid_ticks = find_closest(grid_times, perf_onsets)[:-1]
+    in_range = onset_grid_ticks < grid_times.shape[0]
+    synced.tempos = TempoMap(onset_grid_ticks[in_range], bpm[in_range])
 
-    markers.insert(0, Marker(0, f"Shift_{perf_shift:.6f}"))
+    markers.insert(0, Marker(0, f"Shift_{time_origin:.6f}"))
 
-    midi.time_sigs = score_midi.time_sigs.copy()
-    midi.markers = markers
-    midi.max_tick = resample_timing.shape[0]
+    synced.time_sigs = score_midi.time_sigs.copy()
+    synced.markers = markers
+    synced.max_tick = grid_times.shape[0]
 
-    return midi
+    return synced

@@ -38,25 +38,26 @@ def prob2bool(prob: float) -> bool:
 def find_closest(array: np.ndarray, values) -> np.ndarray:
     """Indices of the nearest bins in a sorted ``array`` for each of ``values``.
 
-    Ties resolve to the *right* bin (``side="left"`` searchsorted with a strict
-    ``<`` comparison on the left neighbour), matching the reference semantics
-    (scoreperformer/utils/functions.py:41-57). Works on scalars and arrays.
+    Ties resolve to the *right* bin (the larger value), matching the reference
+    semantics (scoreperformer/utils/functions.py:41-57). Works on scalars and
+    arrays.
+
+    Implemented as a two-candidate comparison: for each value take the first
+    bin >= value (clamped in range) and its left neighbour, then keep
+    whichever is strictly nearer — the right candidate on ties.
     """
-    array = np.asarray(array)
-    ids = np.searchsorted(array, values, side="left")
+    bins = np.asarray(array)
+    vals = np.asarray(values, dtype=np.float64)
+    last = bins.shape[0] - 1
 
-    arr_values = array[np.minimum(ids, len(array) - 1)]
-    prev_values = array[np.maximum(ids - 1, 0)]
-    prev_idx_is_less = (ids == len(array)) | (
-        np.fabs(values - prev_values) < np.fabs(values - arr_values)
-    )
+    right = np.clip(np.searchsorted(bins, values, side="left"), 0, last)
+    left = np.clip(right - 1, 0, last)
+    nearer_left = np.abs(vals - bins[left]) < np.abs(vals - bins[right])
+    out = np.where(nearer_left, left, right)
 
-    if isinstance(ids, np.ndarray):
-        ids[prev_idx_is_less] -= 1
-    elif prev_idx_is_less:
-        ids -= 1
-
-    return np.maximum(0, ids)
+    if out.ndim == 0 and np.ndim(values) == 0:
+        return out[()]
+    return out
 
 
 def apply(seqs, func, desc=None, progress: bool = False):
