@@ -24,6 +24,7 @@ second choice), then sequence order — the GShard ordering.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +50,27 @@ class MoEFeedForward(nn.Module):
     router_z_weight: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
         B, S, D = x.shape
         E = self.num_experts
         K = min(self.top_k, E)
         inner = int(self.dim * self.mult)
         capacity = max(1, int(math.ceil(K * S * self.capacity_factor / E)))
+
+        # padding mask: collators pad to fixed shapes, and pad tokens must not
+        # occupy expert capacity (they would displace real tokens' choices) or
+        # skew the load-balance statistics
+        valid = (
+            jnp.ones((B, S), dtype=jnp.float32)
+            if mask is None
+            else mask.astype(jnp.float32)
+        )
+        n_valid = jnp.maximum(valid.sum(), 1.0)
 
         # ---- routing (fp32 for a stable softmax) ----
         router = self.param(
@@ -69,8 +85,11 @@ class MoEFeedForward(nn.Module):
         )
 
         # slot-major priority: flatten (K,S) so every token's first choice is
-        # placed into expert capacity before any token's second choice
+        # placed into expert capacity before any token's second choice;
+        # masked (pad) tokens are zeroed out BEFORE the capacity cumsum so
+        # they neither consume slots nor receive expert outputs
         onehot = jax.nn.one_hot(gate_idx, E, dtype=jnp.float32)  # (B,S,K,E)
+        onehot = onehot * valid[:, :, None, None]
         oh_flat = onehot.transpose(0, 2, 1, 3).reshape(B, K * S, E)
         position = jnp.cumsum(oh_flat, axis=1) - oh_flat  # exclusive, per expert
         keep = (position < capacity) * oh_flat  # (B,KS,E)
@@ -116,12 +135,14 @@ class MoEFeedForward(nn.Module):
         y = jnp.einsum("ebcd,bsec->bsd", y_e, combine)
 
         # ---- aux losses (sown; Trainer adds them when present) ----
-        importance = probs.mean(axis=(0, 1))  # mean router prob per expert
-        load = onehot[:, :, 0, :].mean(axis=(0, 1))  # top-1 token fraction
+        # statistics over NON-PAD tokens only (onehot is already masked)
+        importance = (probs * valid[..., None]).sum(axis=(0, 1)) / n_valid
+        load = onehot[:, :, 0, :].sum(axis=(0, 1)) / n_valid  # top-1 fraction
         aux = E * jnp.sum(importance * load) * self.router_aux_weight
         if self.router_z_weight > 0.0:
             z = jax.nn.logsumexp(logits, axis=-1)
-            aux = aux + self.router_z_weight * jnp.mean(z**2)
+            aux = aux + self.router_z_weight * jnp.sum(z**2 * valid) / n_valid
         self.sow("losses", "moe_aux", aux)
 
-        return y
+        # keep the residual stream dtype: dispatch/combine are fp32
+        return y.astype(x.dtype)

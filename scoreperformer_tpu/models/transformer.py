@@ -15,6 +15,7 @@ from ..configs import ModuleConfig
 from ..parallel.mesh import shard_seq_activations
 from .attention import Attention, init_kv_cache
 from .layers import AdaptiveLayerNorm, FeedForward
+from .moe import MoEFeedForward
 
 
 @dataclass
@@ -121,8 +122,11 @@ class TransformerStack(nn.Module):
                 ff = cfg.feed_forward
                 stride = max(1, int(ff.moe_stride))
                 if ff.num_experts > 1 and ff_ord % stride == stride - 1:
-                    from .moe import MoEFeedForward
-
+                    if ff.post_act_ln:
+                        raise ValueError(
+                            "post_act_ln is not supported by MoE feed-forward "
+                            "layers (num_experts > 1); disable one of them"
+                        )
                     layer = MoEFeedForward(
                         dim=cfg.dim,
                         num_experts=ff.num_experts,
@@ -234,7 +238,21 @@ class TransformerStack(nn.Module):
                 )
                 new_caches.append(None)
             else:
-                out = layer(x, deterministic=deterministic)
+                if isinstance(layer, MoEFeedForward):
+                    # with a cache, `mask` covers cache keys, not the fresh
+                    # queries — routing then sees every fresh token as valid
+                    ff_mask = (
+                        mask
+                        if (
+                            not has_cache
+                            and mask is not None
+                            and mask.shape[:2] == x.shape[:2]
+                        )
+                        else None
+                    )
+                    out = layer(x, mask=ff_mask, deterministic=deterministic)
+                else:
+                    out = layer(x, deterministic=deterministic)
                 new_caches.append(None)
 
             # sequence-parallel residual stream: no-op unless the trainer

@@ -53,12 +53,12 @@ DEFAULT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
 
 
 # Expert-parallel rules: stacked MoE expert kernels (models/moe.py — leading
-# axis = experts) shard over `expert`; the router stays replicated.
+# axis = experts) shard over `expert`; the router stays replicated. Anchored
+# to the MoE module scope (layer_N_ff) so an unrelated future param named
+# wi/wo can't be silently expert-sharded.
 EXPERT_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
-    (r"(.*/)?wi", P(EXPERT_AXIS, None, None)),
-    (r"(.*/)?wo", P(EXPERT_AXIS, None, None)),
-    (r"(.*/)?bi", P(EXPERT_AXIS, None)),
-    (r"(.*/)?bo", P(EXPERT_AXIS, None)),
+    (r".*_ff/(wi|wo)", P(EXPERT_AXIS, None, None)),
+    (r".*_ff/(bi|bo)", P(EXPERT_AXIS, None)),
 )
 
 

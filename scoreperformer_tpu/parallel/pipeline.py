@@ -61,6 +61,13 @@ def make_unit_module(config):
         "pipeline_apply supports the ('a','f') layer pattern; cross-attend "
         "stacks keep the data/tensor-parallel paths"
     )
+    if config.feed_forward.num_experts > 1:
+        # MoE (especially moe_stride > 1, mixing dense and MoE FF param
+        # trees) breaks the homogeneous-unit restack assumption
+        raise NotImplementedError(
+            "pipeline parallelism does not compose with MoE feed-forward "
+            "(num_experts > 1): depth units no longer share one param tree"
+        )
     unit_cfg = dataclasses.replace(config, depth=1, final_norm=False)
     return TransformerStack(config=unit_cfg)
 
