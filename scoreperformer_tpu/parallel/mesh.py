@@ -149,13 +149,38 @@ class activation_sharding:
 def shard_seq_activations(x):
     """Constrain a (batch, seq, dim) activation to the installed
     sequence-parallel sharding; identity when none is installed or the
-    static shape does not divide the mesh axes."""
+    static shape does not divide the mesh axes.
+
+    Inside a `shard_map` that is manual over data/pipe but GSPMD-auto over
+    `model` (the composed pipeline x tensor-parallel path,
+    parallel/pipeline.py), the constraint is re-expressed against the
+    current *abstract* mesh with the manual axes dropped — a spec may only
+    mention auto axes there."""
     s = _ACTIVATION_SHARDING
     if s is None or getattr(x, "ndim", 0) != 3:
         return x
     data_n = s.mesh.shape.get(DATA_AXIS, 1)
     model_n = s.mesh.shape.get(MODEL_AXIS, 1)
-    if model_n <= 1 or x.shape[0] % data_n or x.shape[1] % model_n:
+    if model_n <= 1 or x.shape[1] % model_n:
+        return x
+
+    abstract = jax.sharding.get_abstract_mesh()
+    manual_axes = (
+        set()
+        if abstract.empty
+        else {
+            name
+            for name, ty in zip(abstract.axis_names, abstract.axis_types)
+            if ty == jax.sharding.AxisType.Manual
+        }
+    )
+    if manual_axes:
+        if MODEL_AXIS in manual_axes or MODEL_AXIS not in abstract.axis_names:
+            return x  # model axis unavailable for auto sharding here
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(abstract, P(None, MODEL_AXIS, None))
+        )
+    if x.shape[0] % data_n:
         return x
     return jax.lax.with_sharding_constraint(x, s)
 

@@ -39,17 +39,28 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import DATA_AXIS
+from jax.sharding import NamedSharding
+
+from .mesh import DATA_AXIS, MODEL_AXIS, _path_str, partition_spec_for
 
 PIPE_AXIS = "pipe"
 
 
-def make_pipeline_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
-    """(data, pipe) mesh: batch over `data`, trunk depth over `pipe`."""
+def make_pipeline_mesh(
+    pipe: int, data: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    """(data, pipe[, model]) mesh: batch over `data`, trunk depth over
+    `pipe`, and optionally tensor-parallel kernels over `model` (the `model`
+    axis stays GSPMD-auto inside the pipeline shard_map)."""
     devices = devices if devices is not None else jax.devices()
-    assert data * pipe == len(devices), (
-        f"mesh {data}x{pipe} != {len(devices)} devices"
+    assert data * pipe * model == len(devices), (
+        f"mesh {data}x{pipe}x{model} != {len(devices)} devices"
     )
+    if model > 1:
+        return Mesh(
+            np.asarray(devices).reshape(data, pipe, model),
+            (DATA_AXIS, PIPE_AXIS, MODEL_AXIS),
+        )
     return Mesh(np.asarray(devices).reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
 
 
@@ -94,6 +105,31 @@ def stack_unit_params(stack_params: Dict[str, Any], depth: int) -> Dict[str, Any
         }
         units.append(unit)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *units)
+
+
+def stacked_params_shardings(stacked: Dict[str, Any], mesh: Mesh):
+    """NamedShardings for a `stack_unit_params` tree on a
+    (data, pipe[, model]) mesh: the leading depth axis shards over `pipe`;
+    when the mesh carries a `model` axis, the tensor-parallel kernel rules
+    (mesh.DEFAULT_PARTITION_RULES) apply shifted one dim right. The `model`
+    axis stays GSPMD-auto inside `pipeline_apply`'s shard_map, so XLA
+    inserts its collectives per stage."""
+    has_model = mesh.shape.get(MODEL_AXIS, 1) > 1
+
+    def spec(path, leaf):
+        axes = [PIPE_AXIS] + [None] * (leaf.ndim - 1)
+        if has_model:
+            tp = partition_spec_for(_path_str(path))
+            for i, axis in enumerate(tp):
+                if (
+                    axis is not None
+                    and i + 1 < leaf.ndim
+                    and leaf.shape[i + 1] % mesh.shape[axis] == 0
+                ):
+                    axes[i + 1] = axis
+        return NamedSharding(mesh, P(*axes))
+
+    return jax.tree_util.tree_map_with_path(spec, stacked)
 
 
 def unstack_unit_tree(stacked: Dict[str, Any], depth: int) -> Dict[str, Any]:
@@ -213,11 +249,16 @@ def pipeline_apply(
         outs = jnp.where(sid == stages - 1, outs, jnp.zeros_like(outs))
         return jax.lax.psum(outs, PIPE_AXIS)
 
+    # manual over data/pipe; any further mesh axes (e.g. `model` for tensor
+    # parallelism of the per-stage kernels) stay GSPMD-auto: param/activation
+    # shardings over them flow through and XLA inserts their collectives
+    manual = {PIPE_AXIS} | ({DATA_AXIS} if DATA_AXIS in mesh.axis_names else set())
     out = jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=tuple(specs),
         out_specs=mb_spec,
         check_vma=False,
+        axis_names=frozenset(manual),
     )(*args)
     return out.reshape((batch,) + x.shape[1:])

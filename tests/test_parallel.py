@@ -534,6 +534,87 @@ class TestPipelineParallel:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.9, losses
 
+    def test_composed_data_pipe_model_parity(self):
+        """Composed 2x2x2 mesh: pipeline (manual shard_map over data/pipe)
+        x tensor parallel (GSPMD-auto `model` axis on the per-stage kernels)
+        x sequence-parallel residual-stream sharding — forward AND grads must
+        match the single-device trunk, and a ZeRO-sharded optimizer step must
+        execute."""
+        import optax
+
+        from scoreperformer_tpu.parallel import (
+            make_pipeline_mesh, make_unit_module, opt_state_shardings,
+            pipeline_apply, stack_unit_params, stacked_params_shardings,
+            unstack_unit_tree,
+        )
+        from scoreperformer_tpu.parallel.mesh import (
+            MODEL_AXIS, activation_sharding,
+        )
+
+        cfg, trunk, params, x, kw = self._trunk_and_params(seed=9)
+
+        def ref_loss(p):
+            out, _, _ = trunk.apply({"params": p}, x, **kw)
+            return (out**2).sum()
+
+        loss_ref, grads_ref = jax.jit(jax.value_and_grad(ref_loss))(params)
+        trunk_grads_ref = {
+            k: v for k, v in grads_ref.items() if k.startswith("layer_")
+        }
+
+        unit = make_unit_module(cfg)
+        stacked = stack_unit_params(params, cfg.depth)
+        mesh = make_pipeline_mesh(pipe=2, data=2, model=2)
+        shardings = stacked_params_shardings(stacked, mesh)
+        # the TP rules must actually engage on this tree
+        specs = {s.spec for s in jax.tree.leaves(shardings)}
+        assert any(MODEL_AXIS in (a for a in sp if a) for sp in specs), specs
+        stacked_sh = jax.device_put(stacked, shardings)
+
+        from flax import linen as nn
+
+        def pp_loss(sp):
+            h = pipeline_apply(unit, sp, x, mesh, num_microbatches=2,
+                               mask=kw.get("mask"))
+            h = nn.LayerNorm(epsilon=1e-5).apply(
+                {"params": params["final_norm"]}, h)
+            return (h**2).sum()
+
+        with activation_sharding(mesh):
+            loss_pp, grads_pp = jax.jit(jax.value_and_grad(pp_loss))(stacked_sh)
+
+            np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                                       rtol=1e-5)
+            flat = unstack_unit_tree(grads_pp, cfg.depth)
+            for k, ref_tree in trunk_grads_ref.items():
+                for (kp, a), (_, b) in zip(
+                    jax.tree_util.tree_flatten_with_path(flat[k])[0],
+                    jax.tree_util.tree_flatten_with_path(ref_tree)[0],
+                ):
+                    # absolute tolerance: late-layer grads here are ~1e-4 in
+                    # magnitude, so per-leaf relative comparison only
+                    # amplifies float32 noise
+                    np.testing.assert_allclose(
+                        np.array(a), np.array(b), atol=3e-5, rtol=1e-2,
+                        err_msg=f"{k}{kp}")
+
+            # one ZeRO-sharded optimizer step over the stacked params
+            tx = optax.adam(1e-3)
+            opt_state = jax.device_put(
+                tx.init(stacked_sh),
+                opt_state_shardings(tx.init(stacked_sh), mesh),
+            )
+
+            @jax.jit
+            def step(sp, s):
+                loss, grads = jax.value_and_grad(pp_loss)(sp)
+                updates, s = tx.update(grads, s, sp)
+                return optax.apply_updates(sp, updates), s, loss
+
+            sp2, _, loss1 = step(stacked_sh, opt_state)
+            assert np.isfinite(float(loss1))
+            assert float(jax.jit(pp_loss)(sp2)) < float(loss_pp)
+
     def test_stack_unstack_roundtrip(self):
         from scoreperformer_tpu.parallel import (
             stack_unit_params, unstack_unit_tree,

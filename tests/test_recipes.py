@@ -77,6 +77,7 @@ def test_build_components_for_recipe(name, synth_root):
 
 
 ARCH_VARIANTS = [
+    "scoreperformer/moe.yaml",
     "scoreperformer/no_classifiers.yaml",
     "scoreperformer/ablation/no_saln.yaml",
     "scoreperformer/ablation/no_score_enc.yaml",
