@@ -726,3 +726,163 @@ class TestImportReferenceCheckpoint:
         leaf3 = flatten(variables3["params"])
         for path in want:
             np.testing.assert_array_equal(np.asarray(leaf3[path]), np.asarray(want[path]))
+
+
+# ---------------------------------------------------------------------------
+# Full-model converted-checkpoint TRAJECTORY parity (VERDICT r3 #4): the
+# reference's iterative greedy MixedLM unmasking loop
+# (models/scoreperformer/wrappers.py:324-431 — per masked position, forward
+# the prefix, mask pad/mask logits, sample, fill) re-enacted in torch without
+# caches, vs this framework's single-compiled-scan `mixedlm_unmask` with KV
+# caches on the SAME converted weights. Every step's fill feeds the next
+# step's prefix, so token-level agreement is a whole-trajectory statement.
+# ---------------------------------------------------------------------------
+
+
+def _torch_greedy_unmask(sd, tokens, tokens_masked, style, context):
+    """Reference unmask loop: full-prefix forward per masked position.
+
+    The reference LM forward shifts (wrappers.py:407-424): seq drops its last
+    token, seq_masked/style/context drop their first row — hidden j pairs
+    token j with the NEXT position's mask pattern/condition; lm_head reads
+    hidden[idx-1] to predict position idx.
+    """
+    import torch
+
+    out = tokens.clone()
+    unmask = out == 1  # mask_token_id
+    positions = torch.where(unmask.any(-1).any(0))[0]
+    neg = -torch.finfo(torch.float32).max / 2
+    for idx in positions.tolist():
+        logits = _reference_torch_forward(
+            sd,
+            out[:, :idx],
+            tokens_masked[:, 1:idx + 1],
+            style[:, 1:idx + 1],
+            context[:, 1:idx + 1],
+        )
+        for i, key in enumerate(NT):
+            stream_mask = unmask[:, idx, i]
+            if not bool(stream_mask.any()):
+                continue
+            row = logits[key][:, idx - 1].clone()
+            row[:, 0] = neg  # pad_token_id
+            row[:, 1] = neg  # mask_token_id
+            pick = row.argmax(dim=-1).to(out.dtype)
+            out[:, idx, i] = torch.where(stream_mask, pick, out[:, idx, i])
+    return out
+
+
+class TestTrajectoryParity:
+    B, T = 4, 16
+
+    def _composite(self):
+        from scoreperformer_tpu.models import MODELS
+
+        token_values = {k: v.tolist() for k, v in _token_values().items()}
+        emb = {
+            "_target_": "simple", "emb_dims": EMB, "mode": "cat",
+            "emb_norm": True, "discrete": False, "continuous": True,
+            "continuous_dense": True, "discrete_ids": DISC_IDS,
+            "token_values": token_values,
+        }
+        attn = {"dim_head": DIM_HEAD, "one_kv_head": True,
+                "alibi_pos_bias": True, "alibi_learned": True}
+        ff = {"mult": 2, "glu": True, "swish": True}
+        enc_t = {"_target_": "encoder", "depth": 1, "heads": HEADS,
+                 "attention": dict(attn), "feed_forward": dict(ff)}
+        cfg = {
+            "num_tokens": NT,
+            "num_score_tokens": {k: NT[k] for k in ("Bar", "Position", "Pitch")},
+            "dim": DIM, "tie_token_emb": True, "mode": "mixlm",
+            "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                              "use_abs_pos_emb": False, "max_seq_len": 64,
+                              "transformer": dict(enc_t)},
+            "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                             "use_abs_pos_emb": False, "max_seq_len": 64,
+                             "latent_dim": [12, 8],
+                             "aggregate_mode": ["mean", "bar_mean"],
+                             "latent_dropout": [0.0, 0.0],
+                             "hierarchical": True, "max_segments": 16,
+                             "transformer": dict(enc_t)},
+            "perf_decoder": {
+                "token_embeddings": {**emb, "_target_": "multi-seq",
+                                     "multiseq_mode": "post-cat"},
+                "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": 64,
+                "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+                "transformer": {"_target_": "decoder", "depth": DEPTH,
+                                "heads": HEADS, "attention": dict(attn),
+                                "feed_forward": dict(ff)},
+                "lm_head": {"_target_": "lm-tied"},
+            },
+        }
+        model, model_cfg = MODELS.get("ScorePerformer")(**cfg)
+        return model
+
+    def _data(self, seed=13):
+        rng = np.random.RandomState(seed)
+        x = np.stack(
+            [rng.randint(4, v, (self.B, self.T)) for v in NT.values()], -1
+        ).astype(np.int32)
+        masked = x.copy()
+        masked[:, 1:, 2:] = 1  # Pitch+Velocity masked at positions 1..T-1
+        fully_masked = x.copy()
+        fully_masked[..., 2:] = 1
+        style = rng.randn(self.B, self.T, STYLE).astype(np.float32) * 0.3
+        context = rng.randn(self.B, self.T, DIM).astype(np.float32) * 0.3
+        return x, masked, fully_masked, style, context
+
+    @pytest.mark.parametrize("chunk_size", [None, 4])
+    def test_greedy_trajectory_matches_reference_loop(self, chunk_size):
+        torch = pytest.importorskip("torch")
+
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model = self._composite()
+        x, masked, fully_masked, style, context = self._data()
+
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+        bars = np.sort(np.random.RandomState(5).randint(4, 12, (self.B, self.T)), 1)
+        params = model.init(
+            rngs, jnp.asarray(x), perf_mask=jnp.ones((self.B, self.T), bool),
+            score=jnp.asarray(x[..., :3]), score_mask=jnp.ones((self.B, self.T), bool),
+            masked_perf=jnp.asarray(fully_masked), labels=None,
+            bars=jnp.asarray(bars), beats=jnp.asarray(bars),
+            onsets=jnp.asarray(bars), deterministic=True,
+        )["params"]
+
+        sd = _make_reference_state_dict(seed=21)
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        template = {
+            k: v for k, v in params.items()
+            if k == "perf_decoder" or k.startswith("shared_emb_")
+        }
+        converted, missing = convert_reference_state_dict(
+            sd_np, template, strict=True
+        )
+        assert not missing
+        full_params = {**params, **converted}
+
+        got = np.asarray(mixedlm_unmask(
+            model, {"params": full_params},
+            jnp.asarray(masked), jnp.asarray(fully_masked),
+            rng=jax.random.PRNGKey(0),
+            style_embeddings=jnp.asarray(style), context=jnp.asarray(context),
+            greedy=True, chunk_size=chunk_size,
+        ))
+
+        want = _torch_greedy_unmask(
+            sd, torch.tensor(masked), torch.tensor(fully_masked),
+            torch.tensor(style), torch.tensor(context),
+        ).numpy()
+
+        filled = masked == 1
+        n = int(filled.sum())
+        agree = float((got[filled] == want[filled]).mean())
+        assert n == self.B * (self.T - 1) * 2
+        assert agree >= 0.999, (
+            f"trajectory agreement {agree:.4f} over {n} filled slots"
+        )
+        # untouched positions/streams must be bit-identical to the input
+        np.testing.assert_array_equal(got[~filled], masked[~filled])
