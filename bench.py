@@ -236,14 +236,57 @@ def measure_render(n_bars=32, repeats=3):
     return T / best, best, T
 
 
-def measure_tpu_train(batch=128, seq=256, repeats=3):
+def train_flops_per_step(
+    batch, seq, dim=DIM, emb_dim=EMB_DIM, dec_depth=DEPTH, enc_depth=2,
+    mmd_depth=4, heads=HEADS, dim_head=DIM_HEAD, style_dim=64,
+    num_tokens=None,
+) -> float:
+    """Analytic model FLOPs for one train step (fwd + bwd ≈ 3x forward
+    matmul FLOPs, the standard MFU convention). Counts the three trunks'
+    QKV/attend/out/GLU projections, AdaLN conditioning, embedding and head
+    projections; elementwise/norm work is excluded (MXU accounting)."""
+    num_tokens = num_tokens or FLAGSHIP_NUM_TOKENS
+    n_streams = len(num_tokens)
+    n_score = n_streams - 2  # RelOnsetDev / RelPerfDuration are perf-only
+    v_total = sum(num_tokens.values())
+    emb_perf = emb_dim * n_streams
+    emb_score = emb_dim * n_score
+
+    def unit(T, adanorm):
+        # one (attention, feed-forward) depth unit, per position
+        f = (
+            2 * dim * (heads * dim_head)      # q
+            + 2 * 2 * dim * dim_head          # k, v (one kv head)
+            + 2 * T * (heads * dim_head) * 2  # q.K + attn.V over T keys
+            + 2 * (heads * dim_head) * dim    # out proj
+            + 2 * dim * (8 * dim)             # GLU in (2x mult-4 inner)
+            + 2 * (4 * dim) * dim             # GLU out
+        )
+        if adanorm:
+            f += 2 * (2 * style_dim * (2 * dim))  # two AdaLN per unit
+        return f
+
+    enc = enc_depth * unit(seq, False) + 2 * emb_score * dim
+    mmd = mmd_depth * unit(seq, False) + 2 * emb_perf * dim
+    dec = (
+        dec_depth * unit(seq, True)
+        + 2 * (2 * emb_perf * dim)       # two embedded streams (multi-seq)
+        + 2 * (2 * dim) * dim            # post-cat fusion projection
+        + 2 * (2 * dim) * dim            # context cat projection
+    )
+    head = 2 * dim * emb_perf + 2 * emb_dim * v_total
+    forward = float(enc + mmd + dec + head) * batch * seq
+    return 3.0 * forward
+
+
+def measure_tpu_train(batch=128, seq=256, repeats=3, **build_kw):
     """Flagship train step (forward + backward + adamw) throughput."""
     import jax
     import jax.numpy as jnp
     import optax
 
     model, variables, _, train_batch = build_flagship(
-        batch, seq, return_train_inputs=True
+        batch, seq, return_train_inputs=True, **build_kw
     )
     params = variables["params"]
     tx = optax.chain(optax.clip_by_global_norm(2.0), optax.adamw(2e-4))
@@ -264,6 +307,7 @@ def measure_tpu_train(batch=128, seq=256, repeats=3):
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
+    n_params = int(sum(x.size for x in jax.tree.leaves(params)))
     step = jax.jit(train_step, donate_argnums=(0, 1))
     params, opt_state, loss = step(params, opt_state, train_batch, jax.random.PRNGKey(0))
     jax.block_until_ready(loss)
@@ -276,7 +320,7 @@ def measure_tpu_train(batch=128, seq=256, repeats=3):
         jax.block_until_ready(loss)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return batch * seq / best, best, float(loss)
+    return batch * seq / best, best, float(loss), n_params
 
 
 def measure_torch_baseline(seq=256, steps=64):
@@ -455,6 +499,7 @@ def main():
     parser.add_argument("--render-bars", type=int, default=32)
     parser.add_argument("--skip-render", action="store_true")
     parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--skip-scale", action="store_true")
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -489,15 +534,54 @@ def main():
     train = None
     if not args.skip_train:
         try:
-            train_tps, train_step_s, train_loss = measure_tpu_train(128, args.seq)
+            train_tps, train_step_s, train_loss, n_params = measure_tpu_train(
+                128, args.seq
+            )
+            step_flops = train_flops_per_step(128, args.seq)
+            train_tflops = step_flops / train_step_s / 1e12
             train = {
                 "tokens_per_sec": round(train_tps, 1),
                 "step_ms": round(train_step_s * 1e3, 1),
                 "batch": 128,
                 "loss": round(train_loss, 4),
+                "params": n_params,
+                "model_tflops_per_step": round(step_flops / 1e12, 4),
+                "achieved_tflops": round(train_tflops, 2),
+                "mfu": round(train_tflops / V5E_PEAK_BF16_TFLOPS, 4),
             }
         except Exception as e:  # pragma: no cover - diagnostic path
             train = {"error": f"{type(e).__name__}: {e}"}
+
+    # scale-regime train step (the scale_1024 / exp_scale config: dim 1024,
+    # decoder depth 8, dim_head 128, seq 1024, fp32, batch 8 per chip — the
+    # measured-lever settings; scripts/exp_scale.py is the full matrix)
+    scale = None
+    if not args.skip_scale:
+        try:
+            s_batch, s_seq = 8, 1024
+            s_tps, s_step_s, s_loss, s_params = measure_tpu_train(
+                s_batch, s_seq, dim=1024, emb_dim=256, depth=8, heads=8,
+                dim_head=128,
+            )
+            s_flops = train_flops_per_step(
+                s_batch, s_seq, dim=1024, emb_dim=256, dec_depth=8,
+                heads=8, dim_head=128,
+            )
+            s_tflops = s_flops / s_step_s / 1e12
+            scale = {
+                "tokens_per_sec": round(s_tps, 1),
+                "step_ms": round(s_step_s * 1e3, 1),
+                "batch": s_batch,
+                "seq": s_seq,
+                "dim": 1024,
+                "decoder_depth": 8,
+                "params": s_params,
+                "model_tflops_per_step": round(s_flops / 1e12, 4),
+                "achieved_tflops": round(s_tflops, 2),
+                "mfu": round(s_tflops / V5E_PEAK_BF16_TFLOPS, 4),
+            }
+        except Exception as e:  # pragma: no cover - diagnostic path
+            scale = {"error": f"{type(e).__name__}: {e}"}
 
     render = None
     if not args.skip_render:
@@ -526,6 +610,7 @@ def main():
                 ),
                 "speed_of_light": sol,
                 "train_step": train,
+                "scale_1024_train_step": scale,
                 "render_32bar": render,
                 "config": {
                     "batch": args.batch,
