@@ -1,0 +1,158 @@
+"""Streaming SLO: wall-clock per real-time generation window on the TPU.
+
+The reference's interactive design constant is a 0.2 s generation window
+with a 0.1 s overflow (reference inference/generators.py:109-110): every
+window, the generator must produce the notes whose onsets fall inside the
+next 0.2 s of performance time. The SLO is wall < window — the generator
+keeps up with real time.
+
+This drives ScorePerformerGenerator.generate_performance_notes at the
+FLAGSHIP architecture (dim 256, decoder depth 4, the bench.py config) over a
+long synthetic piece, measuring steady-state wall-clock per 0.2 s window
+(median / p95 / max after warmup). Results recorded in BASELINE.md round 4.
+
+Run on the TPU:  timeout 3000 python scripts/exp_streaming_slo.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+WINDOW = 0.2
+N_WINDOWS = 60
+WARMUP = 5
+MAX_SEQ = 256
+
+
+def flagship_cfg():
+    emb = {
+        "_target_": "simple", "emb_dims": 128, "mode": "cat", "emb_norm": True,
+        "discrete": False, "continuous": True, "continuous_dense": True,
+        "discrete_ids": [0, 1, 2, 3],
+    }
+    attn = {"dim_head": 64, "one_kv_head": True,
+            "alibi_pos_bias": True, "alibi_learned": True}
+    ff = {"mult": 4, "glu": True, "swish": True}
+    return {
+        "dim": 256, "tie_token_emb": True, "mode": "mixlm",
+        "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                          "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                          "transformer": {"_target_": "encoder", "depth": 2, "heads": 4,
+                                          "attention": attn, "feed_forward": ff}},
+        "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
+                         "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
+                         "latent_dim": [32, 20, 8, 4],
+                         "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
+                         "max_segments": 260, "hierarchical": True,
+                         "transformer": {"_target_": "encoder", "depth": 4, "heads": 4,
+                                         "attention": attn, "feed_forward": ff}},
+        "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
+                                              "multiseq_mode": "post-cat"},
+                         "emb_norm": True, "use_abs_pos_emb": False,
+                         "max_seq_len": MAX_SEQ + 2,
+                         "context_emb_mode": "cat", "style_emb_mode": "adanorm",
+                         "transformer": {"_target_": "decoder", "depth": 4, "heads": 4,
+                                         "attention": attn, "feed_forward": ff},
+                         "lm_head": {"_target_": "lm-tied"}},
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+
+    import numpy as np
+
+    from scoreperformer_tpu.data import (
+        LocalScorePerformanceDataset,
+        MixedLMScorePerformanceCollator,
+        scoreperformer_model_inputs,
+    )
+    from scoreperformer_tpu.data.synthetic import build_synthetic_dataset
+    from scoreperformer_tpu.inference import (
+        ScorePerformerGenerator,
+        SPMuple2Messenger,
+    )
+    from scoreperformer_tpu.models import MODELS
+    from scoreperformer_tpu.training import inject_data_config
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    root = "/tmp/sp_slo_data"
+    import os
+
+    if not os.path.exists(os.path.join(root, "metadata.json")):
+        build_synthetic_dataset(root, n_scores=1, n_perfs_per_score=1,
+                                n_bars=48, seed=7, with_directions=False)
+    dataset = LocalScorePerformanceDataset(
+        root=root, max_seq_len=MAX_SEQ, bar_sliding_window=8,
+        fit_to_zero_bar=True, add_sos_eos=True, preload=True,
+        auxiliary_data_keys=["bars"],
+    )
+    collator = MixedLMScorePerformanceCollator(
+        mask_ignore_token_ids=[0, 1, 2, 3],
+        mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
+    )
+    cfg = inject_data_config(flagship_cfg(), dataset)
+    model, _ = MODELS.get("ScorePerformer")(**cfg)
+
+    import jax.numpy as jnp
+
+    sample = dataset[0]
+    batch = collator([sample])
+    inputs = {k: jnp.asarray(v) for k, v in scoreperformer_model_inputs(batch).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent_dropout": jax.random.PRNGKey(2), "mmd": jax.random.PRNGKey(3)}
+    t0 = time.time()
+    variables = jax.jit(
+        lambda r, kw: model.init(r, **kw, deterministic=True)
+    )(rngs, inputs)
+    jax.block_until_ready(variables)
+    print(f"init: {time.time() - t0:.1f}s", flush=True)
+
+    messenger = SPMuple2Messenger(dataset.tokenizer)
+    gen = ScorePerformerGenerator(model, variables, dataset, collator, messenger)
+    gen.reset()
+    t0 = time.time()
+    gen.prepare_performance_notes(0, overlay_bars=0.0)
+    print(f"prepare (encoders): {time.time() - t0:.1f}s", flush=True)
+
+    clock = 0.0
+    walls, notes_per_window = [], []
+    rng = jax.random.PRNGKey(3)
+    for w in range(N_WINDOWS):
+        rng, wrng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out, messages = gen.generate_performance_notes(
+            start_time=clock, time_window=WINDOW, greedy=False,
+            temperature=1.0, rng=wrng, max_context_len=MAX_SEQ,
+        )
+        wall = time.perf_counter() - t0
+        clock += WINDOW
+        n = 0 if out is None else len(out)
+        if out is None and w > WARMUP + 5:
+            break  # piece exhausted
+        walls.append(wall)
+        notes_per_window.append(n)
+        if w < 8 or wall > WINDOW:
+            print(f"window {w:3d}: wall {wall * 1e3:7.1f} ms, {n} notes", flush=True)
+
+    steady = np.asarray(walls[WARMUP:])
+    n_steady = np.asarray(notes_per_window[WARMUP:])
+    print(f"\nwindows measured: {len(steady)} (after {WARMUP} warmup)", flush=True)
+    print(f"notes/window: mean {n_steady.mean():.1f}, max {n_steady.max()}", flush=True)
+    print(
+        f"wall per {WINDOW}s window: median {np.median(steady) * 1e3:.1f} ms, "
+        f"p95 {np.percentile(steady, 95) * 1e3:.1f} ms, "
+        f"max {steady.max() * 1e3:.1f} ms",
+        flush=True,
+    )
+    rtf = WINDOW / np.median(steady)
+    print(f"real-time factor (median): {rtf:.1f}x", flush=True)
+    viol = int((steady > WINDOW).sum())
+    print(f"SLO violations (wall > window): {viol}/{len(steady)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,41 @@ class TestGenerator:
                     f"stream {s} produced id {gen[:, s].max()} >= vocab {size}"
                 )
 
+    def test_streaming_window_meets_realtime_slo(self, generator):
+        """Streaming SLO (reference generators.py:109-110: 0.2 s window +
+        0.1 s overflow): steady-state wall-clock per generated window must be
+        below the window length, i.e. generation keeps up with real time.
+        The TPU flagship measurement lives in scripts/exp_streaming_slo.py /
+        BASELINE.md; this guards the code path at test size on CPU."""
+        import time
+
+        import jax
+
+        generator.reset()
+        generator.prepare_performance_notes(0, overlay_bars=0.0)
+        window = 0.2
+        clock, rng = 0.0, jax.random.PRNGKey(5)
+        walls = []
+        for w in range(14):
+            rng, wrng = jax.random.split(rng)
+            t0 = time.perf_counter()
+            gen, _ = generator.generate_performance_notes(
+                start_time=clock, time_window=window, greedy=True,
+                rng=wrng, max_context_len=40,
+            )
+            wall = time.perf_counter() - t0
+            clock += window
+            if gen is None:
+                break
+            walls.append(wall)
+        assert len(walls) >= 6, "piece exhausted before steady state"
+        steady = sorted(walls[2:])  # drop compile/warmup windows
+        median = steady[len(steady) // 2]
+        assert median < window, (
+            f"median window wall {median * 1e3:.0f} ms exceeds the "
+            f"{window * 1e3:.0f} ms real-time budget"
+        )
+
     def test_logits_by_column_survives_key_sorting(self, generator):
         """logits_by_column must map by stream name even when the dict arrives
         with alphabetically sorted keys (the jit pytree order)."""
