@@ -50,6 +50,7 @@ class StreamingDecoder:
         self.consumed = 0  # number of tokens written into the cache
 
         self._consume = jax.jit(self._consume_fn)
+        self._block_fns: Dict = {}
 
     def reset(self):
         self.caches = None
@@ -105,6 +106,21 @@ class StreamingDecoder:
             self.caches = self._init_cache()
             self.consumed = 0
 
+        assert position >= 1, "position 0 has no preceding token to consume"
+        if self.consumed >= position:
+            # a previous speculative decode consumed at or past this position
+            # (its tokens were discarded at the window cut): re-consume the
+            # final row so the logits reflect the current window content.
+            # Stale rows beyond `position` are masked by the attend's
+            # key_pos <= pos_q causal check and overwritten on re-consume.
+            self.consumed = position - 1
+
+        return self._consume_to(tokens, masked_tokens, style, context, position)
+
+    def _consume_to(self, tokens, masked_tokens, style, context, position):
+        """Consume token rows [consumed, position); returns the logits of the
+        final consume call (logits for row `position`), or None when already
+        caught up."""
         logits = None
         while self.consumed < position:
             remaining = position - self.consumed
@@ -124,6 +140,136 @@ class StreamingDecoder:
         """Logical rollback: mark tokens from `position` as not consumed (the
         cache rows will simply be overwritten)."""
         self.consumed = min(self.consumed, position)
+
+    # ---- block decode: sample ON DEVICE, one host sync per block ----
+    #
+    # The per-note path costs one device->host logits round-trip per note
+    # (~30 ms each on a tunneled chip), which dominates the real-time window
+    # budget. decode_block runs N sequential decode+sample steps inside ONE
+    # compiled lax.scan — each step consumes the previous (possibly
+    # just-sampled) row, applies the LM head, masks pad/mask ids, and samples
+    # the masked streams on device — then syncs the N decoded rows in a
+    # single transfer. N is bucketed so a handful of programs cover all
+    # block lengths.
+
+    BLOCK_BUCKETS = (4, 8, 16, 32)
+
+    def _build_block_fn(self, n_pad, greedy, temperature, filter_kwargs,
+                        mask_cols, filter_fn):
+        model, variables = self.model, self.variables
+        filter_kwargs = dict(filter_kwargs or {})
+
+        def block_fn(caches, prev_row, blk_tokens, blk_masked, blk_style,
+                     blk_ctx, start, rng):
+            # prev_row: (1, S) the already-known row at position first-1;
+            # blk_*: (1, n_pad, ...) rows first..first+n_pad-1 (+1-aligned
+            # companions of the consumed rows); start = first - 1.
+            def body(carry, k):
+                caches, prev, rng = carry
+
+                def sl(a):
+                    return (
+                        jax.lax.dynamic_slice_in_dim(a, k, 1, 1)
+                        if a is not None else None
+                    )
+
+                out = model.apply(
+                    variables,
+                    prev[:, None],
+                    masked_tokens=sl(blk_masked),
+                    style_embeddings=sl(blk_style),
+                    context=sl(blk_ctx),
+                    caches=caches,
+                    cache_index=start + k,
+                    method="decode_step",
+                )
+                logits = model.apply(
+                    variables, out.hidden_state[:, -1],
+                    method=lambda m, h: m.perf_decoder.apply_lm_head(h),
+                )
+                row = jax.lax.dynamic_slice_in_dim(blk_tokens, k, 1, 1)[:, 0]
+                rng, step_rng = jax.random.split(rng)
+                new_row = row
+                for s, key in mask_cols:
+                    lg = logits[key].astype(jnp.float32)
+                    lg = lg.at[:, 0].set(NEG_INF).at[:, 1].set(NEG_INF)
+                    if greedy:
+                        samp = jnp.argmax(lg, axis=-1)
+                    else:
+                        filtered = filter_fn(lg, **filter_kwargs)
+                        if temperature != 1.0:
+                            filtered = filtered / temperature
+                        samp = jax.random.categorical(
+                            jax.random.fold_in(step_rng, s), filtered, axis=-1
+                        )
+                    samp = samp.astype(row.dtype)
+                    new_row = new_row.at[:, s].set(
+                        jnp.where(row[:, s] == MASK, samp, row[:, s])
+                    )
+                return (out.caches, new_row, rng), new_row[0]
+
+            (caches, _, _), rows = jax.lax.scan(
+                body, (caches, prev_row, rng), jnp.arange(n_pad)
+            )
+            return caches, rows  # rows: (n_pad, S)
+
+        return jax.jit(block_fn)
+
+    def decode_block(
+        self, tokens, masked_tokens, style, context, first, n, rng,
+        greedy, temperature, filter_kwargs, mask_cols, filter_fn=top_k,
+    ):
+        """Decode rows [first, first+n) of `tokens` in one compiled scan.
+
+        Catches the cache up to row first-1 (async per-token consumes), runs
+        the block, advances `consumed` past the real rows (padded bucket rows
+        are stale-but-masked, same semantics as rollback). Returns (n, S)
+        decoded rows as numpy, or None when the padded bucket would wrap the
+        ring cache (caller falls back to the per-note path)."""
+        if self.caches is None:
+            self.caches = self._init_cache()
+            self.consumed = 0
+        if self.consumed >= first:
+            self.consumed = max(0, first - 1)
+        if self.consumed < first - 1:
+            self._consume_to(tokens, masked_tokens, style, context, first - 1)
+
+        n_pad = next((b for b in self.BLOCK_BUCKETS if b >= n), None)
+        if n_pad is None or (first - 1) + n_pad > self.max_context_len:
+            return None
+
+        def pad(a, width):
+            if a is None:
+                return None
+            a = np.asarray(a[first : first + n])
+            if a.shape[0] < width:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], width - a.shape[0], axis=0)], axis=0
+                )
+            return jnp.asarray(a[None])
+
+        key = (n_pad, bool(greedy), float(temperature),
+               tuple(sorted((filter_kwargs or {}).items())), tuple(mask_cols))
+        fn = self._block_fns.get(key)
+        if fn is None:
+            fn = self._build_block_fn(
+                n_pad, greedy, temperature, filter_kwargs, tuple(mask_cols),
+                filter_fn,
+            )
+            self._block_fns[key] = fn
+
+        self.caches, rows = fn(
+            self.caches,
+            jnp.asarray(tokens[None, first - 1]),
+            pad(tokens, n_pad),
+            pad(masked_tokens, n_pad),
+            pad(style, n_pad),
+            pad(context, n_pad),
+            first - 1,
+            rng,
+        )
+        self.consumed = first + n - 1  # padded tail rows are stale/masked
+        return np.asarray(jax.device_get(rows))[:n]
 
 
 @dataclass
@@ -315,6 +461,49 @@ class ScorePerformerGenerator:
 
     # ---- streaming generation (generators.py:106-295) ----
 
+    def _sampled_stream_cols(self):
+        """Static (column, stream-name) pairs of the sampled streams, for the
+        device-side block sampler."""
+        from ..models.wrappers import _stream_order
+
+        keys = list(_stream_order(self.model))
+        return tuple((int(s), keys[int(s)]) for s in self.mask_dims)
+
+    def _decode_rows_per_note(
+        self, wb, wb_masked, style, ctx, window, base, num_new,
+        bar_shift, bar_col, rng, greedy, temperature, filter_fn, filter_kwargs,
+    ):
+        """Per-note decode: one predict (host logits sync) per position."""
+        for k in range(num_new):
+            pos = base + k
+            logits = self._decoder.predict(wb, wb_masked, style, ctx, pos)
+            # ONE batched host transfer for all streams: per-leaf np.array()
+            # fetches cost a device round-trip each (~25 ms on a tunneled
+            # chip; measured 300 ms vs 32 ms per step)
+            logits = jax.device_get(logits)
+            rng, step_rng = jax.random.split(rng)
+            row = wb[pos].copy()
+            srngs = jax.random.split(step_rng, len(logits))
+            # NB: predict() crosses a jit boundary, which SORTS dict keys —
+            # map logits to columns by stream name, never positionally
+            for s, key, lg in logits_by_column(self.model, logits):
+                if row[s] != MASK:
+                    continue
+                lg = np.array(lg[0])  # writable copy
+                lg[0] = lg[1] = NEG_INF
+                if greedy:
+                    row[s] = int(np.argmax(lg))
+                else:
+                    filtered = filter_fn(jnp.asarray(lg[None]), **(filter_kwargs or {}))
+                    row[s] = int(
+                        jax.random.categorical(srngs[s], filtered / temperature, axis=-1)[0]
+                    )
+            wb[pos] = row
+            window[pos] = row
+            # restore absolute bar id in the carried window
+            if row[bar_col] > EOS:
+                window[pos, bar_col] = row[bar_col] + bar_shift
+
     def generate_performance_notes(
         self,
         start_time: float = 0.0,
@@ -328,6 +517,7 @@ class ScorePerformerGenerator:
         filter_fn: Callable = top_k,
         filter_kwargs: Optional[Dict] = None,
         greedy: bool = False,
+        block_size: int = 16,
     ):
         tok = self.tokenizer
         perf_notes = self.perf_data.notes
@@ -371,10 +561,26 @@ class ScorePerformerGenerator:
         self._last_window_start = start_idx
 
         tempo_col = tok.types_idx["Tempo"]
+        # host tempo refresh rewrites each chord's Tempo token from the
+        # messenger recursion BEFORE decoding it — the per-note path must
+        # interleave host work per chord, so block decode is disabled then
+        tempo_host_refresh = isinstance(tok, SPMuple2) and tempo_col not in self.mask_dims
+        use_block = block_size > 1 and not tempo_host_refresh
 
         while not self.perf_data.reached_eos:
+            if use_block:
+                # block of upcoming notes (chord boundaries are irrelevant to
+                # the device scan — each step feeds the previous decoded row)
+                end = min(current_note_idx + block_size, len(perf_notes))
+                new_notes = perf_notes[current_note_idx:end].copy()
+                eos_rows = np.where(new_notes[:, bar_col] == self.eos_token_id)[0]
+                if eos_rows.size:
+                    new_notes = new_notes[: eos_rows[0]]
+                    if new_notes.shape[0] == 0:
+                        self.perf_data.reached_eos = True
+                        break
             # chord group (generators.py:159-166)
-            if group_chord_notes:
+            elif group_chord_notes:
                 end = current_note_idx + 1
                 while end < len(perf_notes) and np.all(
                     perf_notes[current_note_idx, :2] == perf_notes[end, :2]
@@ -450,33 +656,35 @@ class ScorePerformerGenerator:
                 self._decoder.reset()
                 needs_prefill = False
 
-            # unmask each new position sequentially
             base = wb.shape[0] - num_new
-            for k in range(num_new):
-                pos = base + k
-                logits = self._decoder.predict(wb, wb_masked, style, ctx, pos)
-                rng, step_rng = jax.random.split(rng)
-                row = wb[pos].copy()
-                srngs = jax.random.split(step_rng, len(logits))
-                # NB: predict() crosses a jit boundary, which SORTS dict keys —
-                # map logits to columns by stream name, never positionally
-                for s, key, lg in logits_by_column(self.model, logits):
-                    if row[s] != MASK:
-                        continue
-                    lg = np.array(lg[0])  # writable copy
-                    lg[0] = lg[1] = NEG_INF
-                    if greedy:
-                        row[s] = int(np.argmax(lg))
-                    else:
-                        filtered = filter_fn(jnp.asarray(lg[None]), **(filter_kwargs or {}))
-                        row[s] = int(
-                            jax.random.categorical(srngs[s], filtered / temperature, axis=-1)[0]
-                        )
-                wb[pos] = row
-                window[pos] = row
-                # restore absolute bar id in the carried window
-                if row[bar_col] > EOS:
-                    window[pos, bar_col] = row[bar_col] + bar_shift
+            rows = None
+            if use_block:
+                # ONE compiled scan decodes + samples the whole block on
+                # device; a single host sync fetches the decoded rows
+                rng, block_rng = jax.random.split(rng)
+                rows = self._decoder.decode_block(
+                    wb, wb_masked, style, ctx, base, num_new, block_rng,
+                    greedy=greedy, temperature=temperature,
+                    filter_kwargs=filter_kwargs,
+                    mask_cols=self._sampled_stream_cols(),
+                    filter_fn=filter_fn,
+                )
+            if rows is not None:
+                for k in range(num_new):
+                    row = rows[k]
+                    wb[base + k] = row
+                    window[base + k] = row
+                    if row[bar_col] > EOS:
+                        window[base + k, bar_col] = row[bar_col] + bar_shift
+            else:
+                # per-note fallback (tempo host refresh, or a block that
+                # would wrap the ring cache): unmask each position in turn
+                self._decode_rows_per_note(
+                    wb, wb_masked, style, ctx, window, base, num_new,
+                    bar_shift, bar_col, rng, greedy, temperature,
+                    filter_fn, filter_kwargs,
+                )
+                rng, _ = jax.random.split(rng)
 
             gen_tokens = window[base:].copy()
 
@@ -503,6 +711,15 @@ class ScorePerformerGenerator:
         times = np.array(all_token_times)
         fit = np.where(times <= start_time + time_window)[0]
         cut_idx = 0 if len(fit) == 0 else int(fit[-1] + 1)
+
+        # tokens decoded beyond the cut are discarded: ROLL BACK the decoder
+        # past them instead of resetting — the kept prefix rows stay valid, so
+        # the next window never re-prefills the whole context (the reset here
+        # used to cost a full window re-consume per overshooting window)
+        overshoot = len(all_token_times) - cut_idx
+        if overshoot > 0:
+            self._decoder.rollback(max(0, self._decoder.consumed - overshoot))
+
         if cut_idx == 0:
             return None, []
 
@@ -522,11 +739,6 @@ class ScorePerformerGenerator:
             ]
 
         self.perf_data.gen_seq = np.concatenate([self.perf_data.gen_seq, gen_tokens], axis=0)
-
-        # any tokens beyond the cut are invalid in the cache: rebuild next call
-        overshoot = len(all_token_times) - cut_idx
-        if overshoot > 0:
-            self._decoder.reset()
 
         return gen_tokens, messages
 

@@ -185,6 +185,65 @@ class TestGenerator:
                     f"stream {s} produced id {gen[:, s].max()} >= vocab {size}"
                 )
 
+    def test_block_decode_matches_per_note_greedy(self, generator):
+        """The device-side block decoder (one compiled scan + one host sync
+        per block) must produce EXACTLY the per-note path's greedy stream."""
+        import jax
+
+        def run(block_size):
+            generator.reset()
+            generator.prepare_performance_notes(0, overlay_bars=0.0)
+            clock = 0.0
+            for _ in range(6):
+                generator.generate_performance_notes(
+                    start_time=clock, time_window=0.5, greedy=True,
+                    rng=jax.random.PRNGKey(4), max_context_len=40,
+                    block_size=block_size,
+                )
+                clock += 0.5
+                if generator.perf_data.reached_eos:
+                    break
+            return generator.perf_data.gen_seq.copy()
+
+        per_note = run(block_size=1)
+        block = run(block_size=16)
+        assert per_note.shape == block.shape
+        np.testing.assert_array_equal(per_note, block)
+
+    def test_many_consecutive_windows_with_overshoot(self, generator):
+        """Regression: a window whose speculative decode overshoots the cut
+        (including cut_idx == 0, returning no notes) left the decoder's
+        consumed counter past the next window's first position — the next
+        predict() then returned None logits and crashed. Drive many small
+        windows to exhaustion; every window must either produce notes or
+        cleanly return None, and the stream must stay in vocab."""
+        import jax
+
+        generator.reset()
+        generator.prepare_performance_notes(0, overlay_bars=0.0)
+        clock, rng = 0.0, jax.random.PRNGKey(9)
+        produced = none_windows = 0
+        for w in range(40):
+            rng, wrng = jax.random.split(rng)
+            # every third window is near-zero-length: its speculative decode
+            # lands entirely beyond the cut (cut_idx == 0 -> None), leaving
+            # discarded tokens in the decoder — the crash precondition
+            window = 1e-4 if w % 3 == 2 else 0.2
+            gen, messages = generator.generate_performance_notes(
+                start_time=clock, time_window=window, greedy=True,
+                rng=wrng, max_context_len=40,
+            )
+            clock += window
+            if generator.perf_data.reached_eos:
+                break
+            if gen is None:
+                none_windows += 1
+            else:
+                produced += len(gen)
+                assert not (gen == 1).any()
+        assert produced > 10  # the piece actually streamed
+        assert none_windows > 0  # the overshoot-discard path was exercised
+
     def test_streaming_window_meets_realtime_slo(self, generator):
         """Streaming SLO (reference generators.py:109-110: 0.2 s window +
         0.1 s overflow): steady-state wall-clock per generated window must be
