@@ -171,7 +171,10 @@ def mixedlm_unmask(
     fresh carried buffers stay fp32; quantization happens once per chunk at
     the merge, and dequantization folds into the attend scales, so no fp32
     copy of the prefix is ever materialized. Trajectories are NOT
-    bit-stable vs fp32 (quantization error); requires the chunked path.
+    bit-stable vs fp32 (quantization error) — measured greedy agreement at
+    the deployed dim-1024 regime: int8 99.922% / bf16 99.963% over 523k
+    filled slots (scripts/exp_int8_scale_agreement.py, BASELINE.md round
+    4); requires the chunked path.
     Measured at the >= 1 GB scale regime (dim 1024, batch 256, seq 512):
     fp32 152k < bf16 179k < **int8 193k tok/s** (+27% / +7%) — the serving
     recommendation at dim >= 1024 (BASELINE.md round 3).

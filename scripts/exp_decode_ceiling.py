@@ -50,10 +50,16 @@ def measure(seq, repeats=3):
             greedy=False, temperature=1.0,
         )
 
+    import numpy as np
+
     def run(s):
         out = unmask(variables, jax.random.PRNGKey(s), data["tokens"],
                      data["masked"], data["style"], data["context"])
-        return jax.block_until_ready(out)
+        # tunnel gotcha (exp_scale_decode.py): block_until_ready is unreliable
+        # through the remote transport — force completion with a scalar host
+        # fetch (adds one ~30 ms RTT, constant across seq; shifts the fit
+        # intercept only, never the slope)
+        return float(np.asarray(out[0, -1, 0]))
 
     t0 = time.perf_counter()
     run(0)
