@@ -249,7 +249,8 @@ class StreamingDecoder:
             return jnp.asarray(a[None])
 
         key = (n_pad, bool(greedy), float(temperature),
-               tuple(sorted((filter_kwargs or {}).items())), tuple(mask_cols))
+               tuple(sorted((filter_kwargs or {}).items())), tuple(mask_cols),
+               filter_fn)
         fn = self._block_fns.get(key)
         if fn is None:
             fn = self._build_block_fn(
@@ -566,6 +567,7 @@ class ScorePerformerGenerator:
         # interleave host work per chord, so block decode is disabled then
         tempo_host_refresh = isinstance(tok, SPMuple2) and tempo_col not in self.mask_dims
         use_block = block_size > 1 and not tempo_host_refresh
+        sampled_cols = self._sampled_stream_cols() if use_block else None
 
         while not self.perf_data.reached_eos:
             if use_block:
@@ -658,15 +660,15 @@ class ScorePerformerGenerator:
 
             base = wb.shape[0] - num_new
             rows = None
+            rng, group_rng = jax.random.split(rng)
             if use_block:
                 # ONE compiled scan decodes + samples the whole block on
                 # device; a single host sync fetches the decoded rows
-                rng, block_rng = jax.random.split(rng)
                 rows = self._decoder.decode_block(
-                    wb, wb_masked, style, ctx, base, num_new, block_rng,
+                    wb, wb_masked, style, ctx, base, num_new, group_rng,
                     greedy=greedy, temperature=temperature,
                     filter_kwargs=filter_kwargs,
-                    mask_cols=self._sampled_stream_cols(),
+                    mask_cols=sampled_cols,
                     filter_fn=filter_fn,
                 )
             if rows is not None:
@@ -678,13 +680,15 @@ class ScorePerformerGenerator:
                         window[base + k, bar_col] = row[bar_col] + bar_shift
             else:
                 # per-note fallback (tempo host refresh, or a block that
-                # would wrap the ring cache): unmask each position in turn
+                # would wrap the ring cache): unmask each position in turn.
+                # group_rng is a dedicated subkey — the outer rng is never
+                # split again on it, so per-note keys can't collide across
+                # consecutive groups
                 self._decode_rows_per_note(
                     wb, wb_masked, style, ctx, window, base, num_new,
-                    bar_shift, bar_col, rng, greedy, temperature,
+                    bar_shift, bar_col, group_rng, greedy, temperature,
                     filter_fn, filter_kwargs,
                 )
-                rng, _ = jax.random.split(rng)
 
             gen_tokens = window[base:].copy()
 

@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 BATCH = 512
-SEQS = (128, 256, 384, 512)
+SEQS = (128, 256, 384, 512, 768)
 KV = 64  # one kv head, dim_head 64
 LAYERS = 4
 HBM_GBPS = 819.0
@@ -52,28 +52,41 @@ def measure(seq, repeats=3):
 
     import numpy as np
 
-    def run(s):
-        out = unmask(variables, jax.random.PRNGKey(s), data["tokens"],
-                     data["masked"], data["style"], data["context"])
-        # tunnel gotcha (exp_scale_decode.py): block_until_ready is unreliable
-        # through the remote transport — force completion with a scalar host
-        # fetch (adds one ~30 ms RTT, constant across seq; shifts the fit
-        # intercept only, never the slope)
+    def dispatch(s):
+        return unmask(variables, jax.random.PRNGKey(s), data["tokens"],
+                      data["masked"], data["style"], data["context"])
+
+    def fetch(out):
+        # tunnel gotcha (exp_scale_decode.py): block_until_ready is
+        # unreliable through the remote transport — force completion with a
+        # scalar host fetch
         return float(np.asarray(out[0, -1, 0]))
 
     t0 = time.perf_counter()
-    run(0)
+    fetch(dispatch(0))
     print(f"  seq {seq}: compile {time.perf_counter() - t0:.0f}s", flush=True)
+
+    # fetch round-trip on an already-computed buffer: subtracted from walls
+    done = dispatch(1)
+    fetch(done)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fetch(done)
+    rtt = (time.perf_counter() - t0) / 3
+
+    # K back-to-back dispatches amortize queueing; ONE final fetch syncs
+    K = 3
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
+        outs = [dispatch(10 + i * K + j) for j in range(K)]
+        fetch(outs[-1])
+        times.append((time.perf_counter() - t0 - rtt) / K)
     best = min(times)
     per_step = best / (seq - 1)
     tps = BATCH * (seq - 1) / best
-    print(f"  seq {seq}: {best:.3f} s, {per_step * 1e6:.0f} us/step, "
-          f"{tps:,.0f} tok/s", flush=True)
+    print(f"  seq {seq}: rtt {rtt * 1e3:.0f} ms, {best:.3f} s/run, "
+          f"{per_step * 1e6:.0f} us/step, {tps:,.0f} tok/s", flush=True)
     return per_step
 
 

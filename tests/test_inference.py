@@ -271,8 +271,11 @@ class TestGenerator:
             if gen is None:
                 break
             walls.append(wall)
-        assert len(walls) >= 6, "piece exhausted before steady state"
-        steady = sorted(walls[2:])  # drop compile/warmup windows
+        assert len(walls) >= 7, "piece exhausted before steady state"
+        # drop 4 warmup windows: each block bucket jit-compiles on first use,
+        # and a bucket first reached at window >= 2 would put a compile into
+        # the measured set on a loaded CI host
+        steady = sorted(walls[4:])
         median = steady[len(steady) // 2]
         assert median < window, (
             f"median window wall {median * 1e3:.0f} ms exceeds the "
