@@ -282,6 +282,49 @@ class TestGenerator:
             f"{window * 1e3:.0f} ms real-time budget"
         )
 
+    def test_block_fn_cache_keyed_by_filter_fn(self, generator):
+        """Regression: StreamingDecoder._block_fns was keyed without
+        filter_fn — a second call with a DIFFERENT custom filter silently
+        reused the first filter's compiled block fn. Two sampled windows
+        with distinct filter_fns must compile two block fns, and a top-1
+        filter must pin the sampled streams to greedy rows."""
+        import jax
+        import jax.numpy as jnp
+
+        def top_one(logits, **_):
+            # keep only the argmax: sampling through this filter IS greedy
+            best = logits.max(axis=-1, keepdims=True)
+            return jnp.where(logits < best, -jnp.inf, logits)
+
+        def run(filter_fn):
+            generator.reset()
+            generator.prepare_performance_notes(0, overlay_bars=0.0)
+            generator.generate_performance_notes(
+                start_time=0.0, time_window=1.0, greedy=False,
+                temperature=2.0, rng=jax.random.PRNGKey(3),
+                max_context_len=40, block_size=16, filter_fn=filter_fn,
+            )
+            return (generator.perf_data.gen_seq.copy(),
+                    len(generator._decoder._block_fns))
+
+        from scoreperformer_tpu.ops.sampling import top_k
+
+        wide, n_fns_1 = run(top_k)
+        pinned, n_fns_2 = run(top_one)
+        assert n_fns_2 > n_fns_1, (
+            "second filter_fn reused the first filter's compiled block fn"
+        )
+
+        generator.reset()
+        generator.prepare_performance_notes(0, overlay_bars=0.0)
+        generator.generate_performance_notes(
+            start_time=0.0, time_window=1.0, greedy=True,
+            rng=jax.random.PRNGKey(3), max_context_len=40, block_size=16,
+        )
+        greedy_rows = generator.perf_data.gen_seq.copy()
+        n = min(len(pinned), len(greedy_rows))
+        np.testing.assert_array_equal(pinned[:n], greedy_rows[:n])
+
     def test_logits_by_column_survives_key_sorting(self, generator):
         """logits_by_column must map by stream name even when the dict arrives
         with alphabetically sorted keys (the jit pytree order)."""
