@@ -8,7 +8,7 @@ from .timing import (
     ticks_to_times,
 )
 from .beats import (
-    BEATS_IN_BARS,
+    COMPOUND_METER_BEATS,
     get_bar_beat_ticks,
     get_inter_beat_interval,
     get_performance_beats,

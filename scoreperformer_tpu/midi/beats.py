@@ -7,8 +7,11 @@ import numpy as np
 
 from .containers import MidiScore, TimeSigMap
 
-# compound meters: numerator -> beats per bar (beats.py:6-12)
-BEATS_IN_BARS = {6: 2, 9: 3, 18: 3, 12: 4, 24: 4}
+# Compound meters group their numerator into dotted beats: every 3 eighth
+# (or sixteenth) notes form one felt beat, so e.g. 6/8 has 2 beats and 12/8
+# has 4. Simple meters (anything not listed) count the numerator directly.
+# (behavioral counterpart of reference beats.py:6-12)
+COMPOUND_METER_BEATS = {num: num // 3 for num in (6, 9, 12, 18, 24)}
 
 
 def get_ticks_per_bar(numerator: int, denominator: int, ticks_per_beat: int = 480) -> int:
@@ -23,7 +26,7 @@ def get_inter_beat_interval(
 ) -> int:
     if ticks_per_bar is None:
         ticks_per_bar = get_ticks_per_bar(numerator, denominator, ticks_per_beat)
-    num_beats_in_bar = BEATS_IN_BARS.get(int(numerator), int(numerator))
+    num_beats_in_bar = COMPOUND_METER_BEATS.get(int(numerator), int(numerator))
     return int(ticks_per_bar / num_beats_in_bar)
 
 
@@ -58,9 +61,10 @@ def get_bar_beat_ticks(
 def get_performance_beats(
     score_beats: np.ndarray,
     position_pairs: np.ndarray,
+    *,
+    monotonic_times: bool = False,
     max_tick: Optional[int] = None,
     max_time: Optional[float] = None,
-    monotonic_times: bool = False,
     ticks_per_beat: int = 480,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Map score beat ticks to performance times by interpolating onset pairs
@@ -85,9 +89,12 @@ def get_performance_beats(
         position_pairs = position_pairs[np.asarray(kept)]
 
     score_beats = np.asarray(score_beats, dtype=np.float64)
-    if max_tick is not None and max_time is not None:
-        position_pairs = np.concatenate([position_pairs, [(max_tick, max_time)]])
-        score_beats = np.concatenate([score_beats, [max_tick]])
+    close_end = max_tick is not None and max_time is not None
+    if close_end:
+        # anchor the interpolation grid (and the beat list) at the piece end
+        end_pair = np.array([[max_tick, max_time]], dtype=np.float64)
+        position_pairs = np.vstack([position_pairs, end_pair])
+        score_beats = np.append(score_beats, float(max_tick))
 
     onset_ticks, perf_times = position_pairs[:, 0], position_pairs[:, 1]
     idx = np.minimum(len(onset_ticks) - 1, np.searchsorted(onset_ticks, score_beats))
@@ -108,9 +115,8 @@ def get_performance_beats(
         )
     perf_beats = np.where(exact, perf_times[idx], interp)
 
-    if max_tick is not None and max_time is not None:
-        if len(score_beats) >= 2 and score_beats[-2] == score_beats[-1]:
-            score_beats = score_beats[:-1]
-            perf_beats = perf_beats[:-1]
+    if close_end and len(score_beats) >= 2 and score_beats[-2] == score_beats[-1]:
+        # the appended end anchor duplicated the final beat — drop it again
+        score_beats, perf_beats = score_beats[:-1], perf_beats[:-1]
 
     return score_beats, perf_beats

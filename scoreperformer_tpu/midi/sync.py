@@ -50,11 +50,12 @@ def sync_performance_midi(
     score_midi: MidiScore,
     perf_midi: MidiScore,
     onset_pairs: np.ndarray,
+    *,
+    bar_sync: bool = True,
     is_absolute_timing: bool = False,
     max_time: Optional[float] = None,
-    ticks_per_beat: int = 480,
-    bar_sync: bool = True,
     inplace: bool = True,
+    ticks_per_beat: int = 480,
 ) -> Optional[MidiScore]:
     """Synchronize ``perf_midi`` with ``score_midi`` bars/beats through onset
     pairs. Returns a new :class:`MidiScore` at ``ticks_per_beat`` resolution,

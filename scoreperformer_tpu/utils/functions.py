@@ -19,20 +19,22 @@ def exists(val) -> bool:
 
 
 def default(val, d):
-    if exists(val):
+    if val is not None:
         return val
+    # a callable fallback is invoked lazily so expensive defaults only
+    # materialize when actually needed
     return d() if isfunction(d) else d
 
 
 def or_reduce(masks):
-    head, *body = masks
-    for rest in body:
-        head = head | rest
-    return head
+    acc = masks[0]
+    for m in masks[1:]:
+        acc = acc | m
+    return acc
 
 
 def prob2bool(prob: float) -> bool:
-    return random.choices([True, False], weights=[prob, 1 - prob])[0]
+    return random.random() < prob
 
 
 def find_closest(array: np.ndarray, values) -> np.ndarray:
@@ -73,19 +75,19 @@ def apply(seqs, func, desc=None, progress: bool = False):
 
 
 class ExplicitEnum(str, Enum):
-    """Enum with a more explicit error message for missing values."""
+    """String enum that names its valid members when lookup fails."""
 
     @classmethod
     def _missing_(cls, value):
+        valid = ", ".join(repr(m.value) for m in cls)
         raise ValueError(
-            f"{value} is not a valid {cls.__name__}, "
-            f"please select one of {list(cls._value2member_map_.keys())}"
+            f"unknown {cls.__name__} value {value!r}; expected one of: {valid}"
         )
 
     @classmethod
     def has_value(cls, value) -> bool:
-        return value in cls._value2member_map_
+        return any(m.value == value for m in cls)
 
     @classmethod
     def list(cls):
-        return list(map(lambda c: c.value, cls))
+        return [m.value for m in cls]
