@@ -1,7 +1,7 @@
 """Bar/beat grid computation (counterpart of scoreperformer/data/midi/beats.py)."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -21,29 +21,32 @@ def get_ticks_per_bar(numerator: int, denominator: int, ticks_per_beat: int = 48
 def get_inter_beat_interval(
     numerator: int,
     denominator: int,
-    ticks_per_bar: Optional[int] = None,
+    ticks_per_bar: "int | None" = None,
     ticks_per_beat: int = 480,
 ) -> int:
-    if ticks_per_bar is None:
-        ticks_per_bar = get_ticks_per_bar(numerator, denominator, ticks_per_beat)
+    bar_len = (
+        get_ticks_per_bar(numerator, denominator, ticks_per_beat)
+        if ticks_per_bar is None
+        else ticks_per_bar
+    )
     num_beats_in_bar = COMPOUND_METER_BEATS.get(int(numerator), int(numerator))
-    return int(ticks_per_bar / num_beats_in_bar)
+    return int(bar_len / num_beats_in_bar)
 
 
 def get_bar_beat_ticks(
-    midi: Optional[MidiScore] = None,
+    midi: "MidiScore | None" = None,
     *,
-    time_sigs: Optional[TimeSigMap] = None,
-    ticks_per_beat: Optional[int] = None,
-    max_tick: Optional[int] = None,
+    time_sigs: "TimeSigMap | None" = None,
+    ticks_per_beat: "int | None" = None,
+    max_tick: "int | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tick positions of every bar line and beat (beats.py:34-65)."""
     if midi is not None:
-        time_sigs = midi.time_sigs
-        ticks_per_beat = midi.ticks_per_beat
-        max_tick = midi.max_tick - 1
+        time_sigs, ticks_per_beat = midi.time_sigs, midi.ticks_per_beat
+        max_tick = int(midi.max_tick) - 1
 
-    bar_ticks, beat_ticks = [], []
+    bar_runs = []
+    beat_runs = []
     n = len(time_sigs)
     for i in range(n):
         last_tick = int(time_sigs.time[i + 1]) if i < n - 1 else int(max_tick)
@@ -51,11 +54,11 @@ def get_bar_beat_ticks(
         den = int(time_sigs.denominator[i])
         start = int(time_sigs.time[i])
         ticks_per_bar = get_ticks_per_bar(num, den, ticks_per_beat)
-        bar_ticks.append(np.arange(start, last_tick, ticks_per_bar))
+        bar_runs.append(np.arange(start, last_tick, ticks_per_bar))
         ibi = get_inter_beat_interval(num, den, ticks_per_bar, ticks_per_beat)
-        beat_ticks.append(np.arange(start, last_tick, ibi))
+        beat_runs.append(np.arange(start, last_tick, ibi))
 
-    return np.concatenate(bar_ticks), np.concatenate(beat_ticks)
+    return np.concatenate(bar_runs), np.concatenate(beat_runs)
 
 
 def get_performance_beats(
@@ -63,8 +66,8 @@ def get_performance_beats(
     position_pairs: np.ndarray,
     *,
     monotonic_times: bool = False,
-    max_tick: Optional[int] = None,
-    max_time: Optional[float] = None,
+    max_tick: "int | None" = None,
+    max_time: "float | None" = None,
     ticks_per_beat: int = 480,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Map score beat ticks to performance times by interpolating onset pairs
@@ -77,7 +80,8 @@ def get_performance_beats(
         # input predecessor, AND whose implied tempo relative to the last
         # *kept* pair stays under 600 BPM (time must grow by at least
         # tick_delta / ticks_per_beat / 10 seconds).
-        ticks, times = position_pairs[:, 0], position_pairs[:, 1]
+        ticks = position_pairs[:, 0]
+        times = position_pairs[:, 1]
         kept = [0]
         for j in range(1, len(position_pairs)):
             if ticks[j] == ticks[j - 1] or times[j] <= times[j - 1]:
@@ -89,33 +93,31 @@ def get_performance_beats(
         position_pairs = position_pairs[np.asarray(kept)]
 
     score_beats = np.asarray(score_beats, dtype=np.float64)
-    close_end = max_tick is not None and max_time is not None
+    close_end = not (max_tick is None or max_time is None)
     if close_end:
         # anchor the interpolation grid (and the beat list) at the piece end
         end_pair = np.array([[max_tick, max_time]], dtype=np.float64)
         position_pairs = np.vstack([position_pairs, end_pair])
         score_beats = np.append(score_beats, float(max_tick))
 
-    onset_ticks, perf_times = position_pairs[:, 0], position_pairs[:, 1]
-    idx = np.minimum(len(onset_ticks) - 1, np.searchsorted(onset_ticks, score_beats))
+    pair_ticks = position_pairs[:, 0]
+    pair_times = position_pairs[:, 1]
+    idx = np.searchsorted(pair_ticks, score_beats).clip(max=pair_ticks.shape[0] - 1)
 
-    exact = onset_ticks[idx] == score_beats
+    exact = pair_ticks[idx] == score_beats
     # interpolation indices: shift to 1 where idx==0 or first beat
     interp_idx = idx.copy()
     interp_idx[(np.arange(len(score_beats)) == 0) | (interp_idx == 0)] += 1
-    interp_idx = np.minimum(interp_idx, len(onset_ticks) - 1)
+    interp_idx = interp_idx.clip(max=pair_ticks.shape[0] - 1)
 
-    left_tick = onset_ticks[interp_idx - 1]
-    right_tick = onset_ticks[interp_idx]
-    left_time = perf_times[interp_idx - 1]
-    right_time = perf_times[interp_idx]
+    lo_tick, hi_tick = pair_ticks[interp_idx - 1], pair_ticks[interp_idx]
+    lo_time, hi_time = pair_times[interp_idx - 1], pair_times[interp_idx]
     with np.errstate(divide="ignore", invalid="ignore"):
-        interp = left_time + (right_time - left_time) * (score_beats - left_tick) / (
-            right_tick - left_tick
-        )
-    perf_beats = np.where(exact, perf_times[idx], interp)
+        frac = (score_beats - lo_tick) / (hi_tick - lo_tick)
+        interp = lo_time + frac * (hi_time - lo_time)
+    perf_beats = np.where(exact, pair_times[idx], interp)
 
-    if close_end and len(score_beats) >= 2 and score_beats[-2] == score_beats[-1]:
+    if close_end and len(score_beats) >= 2 and score_beats[-1] == score_beats[-2]:
         # the appended end anchor duplicated the final beat — drop it again
         score_beats, perf_beats = score_beats[:-1], perf_beats[:-1]
 

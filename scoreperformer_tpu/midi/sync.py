@@ -7,7 +7,7 @@ fully vectorized.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -53,10 +53,10 @@ def sync_performance_midi(
     *,
     bar_sync: bool = True,
     is_absolute_timing: bool = False,
-    max_time: Optional[float] = None,
+    max_time: "float | None" = None,
     inplace: bool = True,
     ticks_per_beat: int = 480,
-) -> Optional[MidiScore]:
+) -> "MidiScore | None":
     """Synchronize ``perf_midi`` with ``score_midi`` bars/beats through onset
     pairs. Returns a new :class:`MidiScore` at ``ticks_per_beat`` resolution,
     or ``None`` when the onset intervals are non-monotonic."""
@@ -65,30 +65,31 @@ def sync_performance_midi(
     filter_late_events(perf_midi)
 
     if is_absolute_timing:
-        assert max_time is not None, "`max_time` required for absolute-timing MIDI"
+        if max_time is None:
+            raise ValueError("absolute-timing MIDI needs an explicit `max_time`")
         tick_to_time = None
     else:
         tick_to_time = score_tick_to_time_map(perf_midi)
-        max_time = tick_to_time[-1]
+        max_time = float(tick_to_time[-1])
 
     # align score bar/beat ticks with performance wall-clock times
-    score_bars, score_beats = get_bar_beat_ticks(score_midi)
-    grid_onsets, perf_onsets = get_performance_beats(
-        score_bars if bar_sync else score_beats,
+    bar_grid, beat_grid = get_bar_beat_ticks(score_midi)
+    grid_onsets, onset_times = get_performance_beats(
+        bar_grid if bar_sync else beat_grid,
         onset_pairs,
-        max_tick=score_midi.max_tick - 1,
-        max_time=max_time,
         monotonic_times=True,
         ticks_per_beat=ticks_per_beat,
+        max_tick=score_midi.max_tick - 1,
+        max_time=max_time,
     )
 
     # rebase wall-clock so the first synced onset is t=0
-    time_origin = perf_onsets[0]
-    perf_onsets = perf_onsets - time_origin
+    time_origin = onset_times[0]
+    onset_times = onset_times - time_origin
     max_time = max_time - time_origin
 
-    onset_gaps_sec = np.diff(perf_onsets)
-    if np.any(onset_gaps_sec <= 0.0):
+    onset_gaps_sec = np.diff(onset_times)
+    if (onset_gaps_sec <= 0.0).any():
         return None
 
     # per-gap sync-unit spans, looked up through the active time signature
@@ -118,11 +119,11 @@ def sync_performance_midi(
     tick_scale = ticks_per_beat / score_midi.ticks_per_beat
     gap_tick_counts = span_ticks[gap_sig] * tick_scale * gap_scale
     segments = [
-        np.linspace(perf_onsets[i], perf_onsets[i + 1], int(gap_tick_counts[i]) + 1)[:-1]
-        for i in range(len(perf_onsets) - 1)
+        np.linspace(lo, hi, num=int(n_ticks) + 1)[:-1]
+        for lo, hi, n_ticks in zip(onset_times[:-1], onset_times[1:], gap_tick_counts)
     ]
     segments.append(np.asarray([max_time]))
-    grid_times = np.round(np.concatenate(segments), 6)
+    grid_times = np.concatenate(segments).round(6)
 
     synced = MidiScore(ticks_per_beat=ticks_per_beat)
 
@@ -147,16 +148,16 @@ def sync_performance_midi(
         for marker in perf_midi.markers:
             text = marker.text
             if text.startswith("NoteI"):
-                pitch, start, end = map(int, text.split("_")[1:])
-                text = f"NoteI_{pitch}_{_regrid(start)}_{_regrid(end)}"
+                fields = [int(f) for f in text.split("_")[1:]]
+                text = f"NoteI_{fields[0]}_{_regrid(fields[1])}_{_regrid(fields[2])}"
             markers.append(Marker(_regrid(marker.time), text))
 
     # tempo changes pinned to the grid ticks of the synced onsets
-    onset_grid_ticks = find_closest(grid_times, perf_onsets)[:-1]
+    onset_grid_ticks = find_closest(grid_times, onset_times)[:-1]
     in_range = onset_grid_ticks < grid_times.shape[0]
     synced.tempos = TempoMap(onset_grid_ticks[in_range], bpm[in_range])
 
-    markers.insert(0, Marker(0, f"Shift_{time_origin:.6f}"))
+    markers = [Marker(0, f"Shift_{time_origin:.6f}")] + markers
 
     synced.time_sigs = score_midi.time_sigs.copy()
     synced.markers = markers

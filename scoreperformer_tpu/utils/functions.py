@@ -6,10 +6,10 @@ numpy/JAX-first codebase.
 """
 from __future__ import annotations
 
-import random
+import inspect
 import sys
 from enum import Enum
-from inspect import isfunction
+from random import random as _uniform
 
 import numpy as np
 
@@ -18,12 +18,14 @@ def exists(val) -> bool:
     return val is not None
 
 
-def default(val, d):
+def default(val, fallback):
     if val is not None:
         return val
     # a callable fallback is invoked lazily so expensive defaults only
     # materialize when actually needed
-    return d() if isfunction(d) else d
+    if inspect.isfunction(fallback):
+        return fallback()
+    return fallback
 
 
 def or_reduce(masks):
@@ -34,7 +36,7 @@ def or_reduce(masks):
 
 
 def prob2bool(prob: float) -> bool:
-    return random.random() < prob
+    return _uniform() < prob
 
 
 def find_closest(array: np.ndarray, values) -> np.ndarray:
@@ -52,7 +54,7 @@ def find_closest(array: np.ndarray, values) -> np.ndarray:
     vals = np.asarray(values, dtype=np.float64)
     last = bins.shape[0] - 1
 
-    right = np.clip(np.searchsorted(bins, values, side="left"), 0, last)
+    right = np.clip(np.searchsorted(bins, vals, side="left"), 0, last)
     left = np.clip(right - 1, 0, last)
     nearer_left = np.abs(vals - bins[left]) < np.abs(vals - bins[right])
     out = np.where(nearer_left, left, right)
@@ -71,7 +73,7 @@ def apply(seqs, func, desc=None, progress: bool = False):
             seqs = tqdm(seqs, desc=desc, file=sys.stdout, leave=False)
         except ImportError:
             pass
-    return [func(seq) for seq in seqs]
+    return [func(item) for item in seqs]
 
 
 class ExplicitEnum(str, Enum):
