@@ -328,17 +328,35 @@ def measure_tpu_train(batch=128, seq=256, repeats=3, **build_kw):
     n_params = int(sum(x.size for x in jax.tree.leaves(params)))
     step = jax.jit(train_step, donate_argnums=(0, 1))
     params, opt_state, loss = step(params, opt_state, train_batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(loss)
+
+    import numpy as np
+
+    def fetch(x):
+        # scalar host fetch forces completion (block_until_ready is
+        # unreliable over the remote-axon transport); its round-trip is
+        # measured on an already-computed buffer and subtracted below, same
+        # amortized methodology as measure_tpu_decode (BASELINE.md round 4).
+        return float(np.asarray(x))
+
+    fetch(loss)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fetch(loss)
+    rtt = (time.perf_counter() - t0) / 3
+
+    K = 4  # chained steps per timed run (params/opt_state donated through)
     times = []
+    loss_out = loss
     for i in range(repeats):
         t0 = time.perf_counter()
-        params, opt_state, loss = step(
-            params, opt_state, train_batch, jax.random.PRNGKey(i + 1)
-        )
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
+        for j in range(K):
+            params, opt_state, loss_out = step(
+                params, opt_state, train_batch, jax.random.PRNGKey(1 + i * K + j)
+            )
+        fetch(loss_out)
+        times.append((time.perf_counter() - t0 - rtt) / K)
     best = min(times)
-    return batch * seq / best, best, float(loss), n_params
+    return batch * seq / best, best, float(loss_out), n_params
 
 
 def measure_torch_baseline(seq=256, steps=64):
