@@ -145,6 +145,9 @@ def measure_tpu_decode(batch=32, seq=256, repeats=3):
             model, variables, tokens, masked, rng=rng,
             style_embeddings=style, context=context,
             greedy=False, temperature=1.0,
+            # the four masked perf streams — skips the 8 discarded
+            # per-stream filters (+7% measured, scripts/exp_sample_dims.py)
+            sample_dims=(3, 5, 10, 11),
         )
 
     import numpy as np

@@ -76,6 +76,9 @@ def prepare_render_inputs(tokenizer, score_midi: MidiScore) -> Dict[str, np.ndar
         "bars": np.asarray(bars),
         "beats": np.asarray(beats),
         "onsets": np.asarray(onsets),
+        # static: the decode only fills these streams (mixedlm_unmask
+        # sample_dims skips the other streams' discarded filters)
+        "mask_dims": tuple(int(d) for d in mask_dims),
     }
 
 
@@ -111,6 +114,8 @@ def render_performance(
     # ONE compiled program: encoder pass + decode scan (anything eager is a
     # remote-compile round trip per op on tunneled TPU platforms; the server
     # uses the same fused structure — inference/server.py)
+    sample_dims = inputs["mask_dims"]
+
     @jax.jit
     def _render(perf, score, mask, bars, beats, onsets, tokens_in, masked_all,
                 override_style, rng):
@@ -125,6 +130,7 @@ def render_performance(
             style_embeddings=style_emb, context=score_emb,
             temperature=temperature, filter_fn=top_k,
             filter_kwargs=filter_kwargs, greedy=greedy,
+            sample_dims=sample_dims,
         )
 
     override = (

@@ -88,6 +88,16 @@ class RenderServer:
         model = self.model
         kv_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[cache_dtype]
         chunk = int(chunk_size)
+        # the decode fills only the perf streams — static, so the compiled
+        # step can skip the other streams' discarded filters (mixedlm_unmask
+        # sample_dims; +7% sampled decode, scripts/exp_sample_dims.py)
+        from .render import PERF_STREAMS
+
+        sample_dims = tuple(
+            int(self.tokenizer.types_idx[k])
+            for k in PERF_STREAMS
+            if k in self.tokenizer.types_idx
+        )
 
         # total style latent dim, known from the config (so style_delta can be
         # validated without waiting on device outputs)
@@ -116,6 +126,7 @@ class RenderServer:
                 style_embeddings=style, context=score_emb, valid_len=valid_len,
                 temperature=temperature, filter_fn=top_k, greedy=greedy,
                 cache_dtype=kv_dtype, chunk_size=chunk,
+                sample_dims=sample_dims,
             )
 
         self._render_step = jax.jit(render_step, static_argnames=("greedy",))

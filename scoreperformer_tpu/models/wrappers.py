@@ -152,12 +152,30 @@ def mixedlm_unmask(
     chunk_tokens: bool = False,
     unrolled_chunks: bool = False,
     capacity_stages: int = 1,
+    sample_dims: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
     """Chord-wise MixedLM unmasking, whole sequence in one compiled scan.
 
     `tokens` is (b, T, S) with MASK at the positions/streams to predict;
     `tokens_masked` is the fully-masked parallel stream. Returns tokens with
     masks filled. Positions >= valid_len are left untouched.
+
+    `sample_dims` (STATIC tuple of stream indices) restricts the per-step
+    filter+sample work to the streams the caller actually masked. The select
+    `where(was_masked, samples, target)` discards every other stream's sample
+    anyway, yet the compiled step runs one top-k + one categorical per stream
+    — S=12 of each at the flagship, where MixedLM masks only 4 perf streams
+    (the widest discarded filter is Bar at 260 tokens). Skipped streams pass
+    the target token through, so outputs are BIT-IDENTICAL to the default
+    whenever the caller masks only `sample_dims` (the per-stream rng split is
+    preserved; tests/test_models.py). If a stream outside `sample_dims` IS
+    masked, its MASK token survives to the output — caller contract.
+    Measured on v5e-1 (flagship b512/seq256, scripts/exp_sample_dims.py, two
+    runs): sampled decode 967-976k -> **1.04M tok/s** (+7.0-7.3%); the GREEDY
+    step measured ~4% SLOWER with the skip (the dropped argmaxes were
+    overlapped; the pass-through serializes the sample stack on the target
+    slice), so sample_dims is applied only when sampling and silently ignored
+    for greedy=True — trajectories are identical either way. None = all.
 
     `cache_dtype=jnp.bfloat16` halves KV traffic but measured SLOWER than
     fp32 at the default chunk size (625k vs 679k tok/s at C=16; it only
@@ -225,7 +243,15 @@ def mixedlm_unmask(
     # than the per-stream path.
     from ..ops.sampling import top_k as _default_top_k
 
-    use_batched = BATCHED_SAMPLING and (greedy or filter_fn is _default_top_k)
+    if sample_dims is not None:
+        # greedy: the skip measured ~4% SLOWER (see docstring) — ignore it
+        sample_dims = None if greedy else tuple(int(s) for s in sample_dims)
+    # the batched stack has no per-stream skip; sample_dims takes precedence
+    use_batched = (
+        BATCHED_SAMPLING
+        and sample_dims is None
+        and (greedy or filter_fn is _default_top_k)
+    )
     if use_batched:
         order = _stream_order(model)
         sizes = list(order.values())
@@ -296,12 +322,19 @@ def mixedlm_unmask(
         hidden, new_caches = decode_step(seq_j, masked_j, style_j, context_j, step_caches, j)
         logits = lm_head(hidden[:, 0])  # dict of (b, V_s)
 
+        target = jax.lax.dynamic_slice_in_dim(target_src, j + 1, 1, axis=1)[:, 0]
         if use_batched:
             samples = _sample_batched(step_rng, logits)  # (b, S)
         else:
             new_vals = []
             rngs = jax.random.split(step_rng, S)
             for s, key, lg in logits_by_column(model, logits):
+                if sample_dims is not None and s not in sample_dims:
+                    # the caller never masks this stream: its sample would be
+                    # discarded by the fill select below — skip the filter +
+                    # categorical and pass the target token through
+                    new_vals.append(target[:, s])
+                    continue
                 lg = lg.at[:, pad_token_id].set(NEG_INF).at[:, mask_token_id].set(NEG_INF)
                 if forbid_ids and s in forbid_ids:
                     lg = lg.at[:, forbid_ids[s]].set(NEG_INF)
@@ -309,8 +342,6 @@ def mixedlm_unmask(
                     _sample_stream(rngs[s], lg, temperature, filter_fn, filter_kwargs, greedy)
                 )
             samples = jnp.stack(new_vals, axis=-1)  # (b, S)
-
-        target = jax.lax.dynamic_slice_in_dim(target_src, j + 1, 1, axis=1)[:, 0]
         was_masked = jax.lax.dynamic_slice_in_dim(unmask_mask, j + 1, 1, axis=1)[:, 0]
         in_range = (j + 1) < valid_len
         fill = was_masked & in_range[:, None]

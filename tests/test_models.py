@@ -619,6 +619,41 @@ class TestWrappers:
                 staged, classic, err_msg=f"chunk={chunk} stages={stages}"
             )
 
+    def test_mixedlm_unmask_sample_dims_bit_parity(self, sp_model):
+        """Restricting the per-step filter+sample to the streams the caller
+        masked (`sample_dims`) must be BIT-identical to the full path —
+        greedy AND sampled (the per-stream rng split is index-preserved) —
+        on both the chunked and classic scans."""
+        from scoreperformer_tpu.models.wrappers import mixedlm_unmask
+
+        model, variables, batch = sp_model
+        S = batch["perf"].shape[-1]
+        dims = (S - 2, S - 1)
+        tokens = batch["perf"].at[:, 1:, -2:].set(1)
+        base = dict(
+            rng=jax.random.PRNGKey(3),
+            style_embeddings=jnp.zeros((2, 16, 20)),
+            context=jnp.zeros((2, 16, 32)),
+        )
+        for greedy in (True, False):
+            for chunk in (16, None):
+                full = np.array(
+                    mixedlm_unmask(
+                        model, variables, tokens, batch["masked_perf"],
+                        greedy=greedy, chunk_size=chunk, **base,
+                    )
+                )
+                slim = np.array(
+                    mixedlm_unmask(
+                        model, variables, tokens, batch["masked_perf"],
+                        greedy=greedy, chunk_size=chunk, sample_dims=dims, **base,
+                    )
+                )
+                np.testing.assert_array_equal(
+                    slim, full, err_msg=f"greedy={greedy} chunk={chunk}"
+                )
+                assert (slim != np.array(tokens)).any()
+
     def test_mixedlm_unmask_int8_cache(self, sp_model):
         """int8-quantized prefix caches (per-row scales folded into the
         attend): trajectories are not guaranteed bit-stable vs fp32, but at
