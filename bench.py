@@ -479,10 +479,14 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_HBM_GBPS = 819.0
 
 # Measured capacity-sweep intercept at the flagship b512 config
-# (scripts/exp_decode_ceiling.py, round 4): the capacity-INDEPENDENT
-# per-step work (small matmuls, 5-stream top-k sampling, scan dispatch).
-# With the prefix reads fully overlapped this is the per-step floor.
-DECODE_FIXED_WORK_US = 372.0
+# (scripts/exp_decode_ceiling2.py, late round 4, sample_dims on): the
+# capacity-INDEPENDENT per-step work (small matmuls, 4-stream sampling, scan
+# dispatch). The earlier 372 us intercept (exp_decode_ceiling.py) included
+# the 8 discarded per-stream filters that sample_dims removed. The
+# capacity-proportional term (~900 ns/row) is NOT storage-bandwidth bound:
+# bf16/int8 caches measured -8.5%/+0% despite 2x/4x smaller reads — it
+# prices the attend's per-row compute/layout work, overlapped with reads.
+DECODE_FIXED_WORK_US = 297.0
 
 
 def flagship_decode_flops_per_token() -> float:
@@ -577,10 +581,11 @@ def main():
         "step_us": round(step_us, 1),
         "fixed_work_floor_us": DECODE_FIXED_WORK_US,
         "vs_fixed_work_floor": round(DECODE_FIXED_WORK_US / step_us, 3),
-        "note": "decode is bound by capacity-independent per-step work: the "
-                "prefix reads run overlapped at/above achievable HBM bw "
-                "(slope-implied ~1.2 TB/s > 770 GB/s probed peak), so "
-                "vs_fixed_work_floor is the speed-of-light axis; "
+        "note": "decode floor = fixed work (297us) + a capacity term that is "
+                "attend compute/layout, not HBM: slope-implied BW (~1.16TB/s) "
+                "exceeds the 770GB/s probed peak AND bf16/int8 caches measure "
+                "-8.5%/+0% despite 2x/4x smaller reads, so neither bandwidth "
+                "nor precision cuts it (BASELINE.md round 4, ceiling2); "
                 "kv_traffic_vs_hbm_peak kept for round-over-round continuity",
     }
 

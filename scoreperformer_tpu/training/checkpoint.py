@@ -42,6 +42,7 @@ def save_checkpoint(
     model_config: Optional[Dict] = None,
     extra_meta: Optional[Dict] = None,
     use_async: bool = False,
+    sharded: bool = False,
 ) -> str:
     """With `use_async`, arrays are fetched to host synchronously (so the
     caller may keep donating/mutating device buffers) but the disk commit runs
@@ -49,7 +50,18 @@ def save_checkpoint(
     previous in-flight save is awaited first so repeated saves into the same
     rewritten directory (e.g. checkpoint_last) cannot race their own cleanup.
     Call `wait_for_async_saves()` (the Trainer does, in its final-save path)
-    before reading a just-written checkpoint or exiting the process."""
+    before reading a just-written checkpoint or exiting the process.
+
+    `sharded=True` hands orbax the (possibly mesh-sharded) ``jax.Array``
+    leaves directly instead of host-gathering the full tree — each process
+    serializes only its addressable shards, so a ZeRO-partitioned optimizer
+    state never materializes unsharded host copies (the host-gather path
+    peaks at full-tree host memory per save). Restore either way:
+    `load_checkpoint` yields host arrays, `restore_sharded` lays shards out
+    directly onto a target mesh (which may differ from the saving one).
+    Under `use_async`, orbax performs the device→host shard copies
+    synchronously before backgrounding the write, so donated buffers stay
+    safe."""
     directory = os.path.abspath(directory)
     if use_async:
         wait_for_async_saves()
@@ -57,16 +69,21 @@ def save_checkpoint(
         shutil.rmtree(directory)
     os.makedirs(directory, exist_ok=True)
 
+    p_payload = params if sharded else jax.device_get(params)
+    o_payload = (
+        (opt_state if sharded else jax.device_get(opt_state))
+        if opt_state is not None else None
+    )
     if use_async:
         ckptr = _async_checkpointer()
-        ckptr.save(os.path.join(directory, "params"), jax.device_get(params))
-        if opt_state is not None:
-            ckptr.save(os.path.join(directory, "opt_state"), jax.device_get(opt_state))
+        ckptr.save(os.path.join(directory, "params"), p_payload)
+        if o_payload is not None:
+            ckptr.save(os.path.join(directory, "opt_state"), o_payload)
     else:
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(os.path.join(directory, "params"), jax.device_get(params))
-            if opt_state is not None:
-                ckptr.save(os.path.join(directory, "opt_state"), jax.device_get(opt_state))
+            ckptr.save(os.path.join(directory, "params"), p_payload)
+            if o_payload is not None:
+                ckptr.save(os.path.join(directory, "opt_state"), o_payload)
 
     meta: Dict[str, Any] = {}
     if trainer_state is not None:
@@ -100,6 +117,53 @@ def load_checkpoint(
                 out["opt_state"] = ckptr.restore(opt_path, item=ref)
             else:
                 out["opt_state"] = ckptr.restore(opt_path)
+    meta_path = os.path.join(directory, "meta.json")
+    if os.path.exists(meta_path):
+        out.update(load_json(meta_path))
+    return out
+
+
+def _abstract_with_sharding(tree):
+    """ShapeDtypeStruct tree carrying each leaf's sharding (for device-direct
+    restore). Leaves may be jax.Arrays or already-abstract structs."""
+    def leaf(x):
+        sharding = getattr(x, "sharding", None)
+        if sharding is not None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return ocp.utils.to_shape_dtype_struct(x)
+
+    return jax.tree.map(leaf, tree)
+
+
+def restore_sharded(
+    directory: str, params_target, opt_state_target=None
+) -> Dict[str, Any]:
+    """Restore params (and optionally the optimizer state) DIRECTLY onto the
+    target tree's shardings — shards stream from disk to their devices with
+    no host-gathered full-tree intermediate. The targets are trees of
+    ``jax.Array`` (or ``ShapeDtypeStruct`` with ``.sharding``) whose mesh may
+    DIFFER from the one the checkpoint was written under: orbax re-lays the
+    stored shards onto the requested sharding on read (cross-topology elastic
+    restore; tests/test_parallel.py::TestShardedCheckpoint)."""
+    directory = os.path.abspath(directory)
+    wait_for_async_saves()
+    out: Dict[str, Any] = {}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ref = _abstract_with_sharding(params_target)
+        out["params"] = ckptr.restore(
+            os.path.join(directory, "params"),
+            item=ref,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(ref),
+        )
+        if opt_state_target is not None and os.path.exists(
+            os.path.join(directory, "opt_state")
+        ):
+            oref = _abstract_with_sharding(opt_state_target)
+            out["opt_state"] = ckptr.restore(
+                os.path.join(directory, "opt_state"),
+                item=oref,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(oref),
+            )
     meta_path = os.path.join(directory, "meta.json")
     if os.path.exists(meta_path):
         out.update(load_json(meta_path))

@@ -34,7 +34,13 @@ from .callbacks import (
     TrainerControl,
     TrainerState,
 )
-from .checkpoint import freeze_mask, load_checkpoint, save_checkpoint, warm_start_params
+from .checkpoint import (
+    freeze_mask,
+    load_checkpoint,
+    restore_sharded,
+    save_checkpoint,
+    warm_start_params,
+)
 from .optimizers import (
     OptimizerConfig,
     PlateauController,
@@ -124,6 +130,11 @@ class TrainerConfig(ModuleConfig):
     # leave the train loop immediately; the final save path waits for all
     # in-flight commits before returning (checkpoint.wait_for_async_saves)
     async_checkpoint: bool = False
+    # sharded checkpointing: orbax serializes the (mesh-sharded) jax.Array
+    # leaves directly — no host-gathered full tree per save — and resume
+    # restores shards straight onto this run's mesh (restore_sharded; the
+    # saving mesh may differ — cross-topology elastic restore is tested)
+    sharded_checkpoint: bool = False
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY §5 sanitizers)
     # jax.profiler trace of [profile_start_step, +profile_num_steps) steps
     profile_dir: Optional[str] = None
@@ -423,8 +434,13 @@ class Trainer:
             )
             self.params = shard_params(self.params, self.mesh)
         else:
-            loaded = load_checkpoint(path, self.params, self.opt_state)
-            self.params = shard_params(loaded["params"], self.mesh)
+            if self.config.sharded_checkpoint:
+                # device-direct: shards stream from disk onto this run's mesh
+                loaded = restore_sharded(path, self.params, self.opt_state)
+                self.params = loaded["params"]
+            else:
+                loaded = load_checkpoint(path, self.params, self.opt_state)
+                self.params = shard_params(loaded["params"], self.mesh)
             if "opt_state" in loaded:
                 self.opt_state = loaded["opt_state"]
             if "trainer_state" in loaded:
@@ -749,6 +765,7 @@ class Trainer:
             self.params,
             opt_state=self.opt_state if self.config.save_optimizer else None,
             use_async=self.config.async_checkpoint,
+            sharded=self.config.sharded_checkpoint,
             trainer_state={
                 "epoch": self.state.epoch,
                 "global_step": self.state.global_step,

@@ -462,8 +462,12 @@ class TestCrossTopologyResume:
     included, re-sharded onto the new mesh at load. No reference analogue
     (single-device torch.save payloads, reference trainer.py:296-347)."""
 
-    @pytest.mark.parametrize("resume_mesh", [2, 8])
-    def test_resume_on_different_device_count(self, setup, tmp_path, resume_mesh):
+    @pytest.mark.parametrize(
+        "resume_mesh,sharded", [(2, False), (8, False), (2, True)]
+    )
+    def test_resume_on_different_device_count(
+        self, setup, tmp_path, resume_mesh, sharded
+    ):
         import warnings
 
         dataset, collator, model, model_config = setup
@@ -481,6 +485,9 @@ class TestCrossTopologyResume:
                 resume_from_checkpoint=resume,
                 mesh_data=mesh_data,
                 zero_sharding=True,
+                # sharded=True: orbax writes the mesh-sharded arrays (no host
+                # gather) and resume streams shards onto the resuming mesh
+                sharded_checkpoint=sharded,
                 optimization=OptimizerConfig(lr=1e-3, optimizer="adamw"),
             )
             with warnings.catch_warnings():
