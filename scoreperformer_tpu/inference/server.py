@@ -71,9 +71,14 @@ class RenderServer:
         or "int8" (quantized prefix, per-row scales — 4x smaller prefix
         reads; measured +27% over fp32 / +7% over bf16 at the 1 GB scale
         regime, BASELINE.md round 3; trajectories are not bit-stable vs
-        fp32).
+        fp32). "auto" applies that measured ladder by model dim: int8 at
+        dim >= 1024, fp32 below (where bf16/int8 measured neutral-to-worse
+        — BASELINE.md round 4 ceiling2 A/B).
         `chunk_size`: chunked-carry decode chunk (16 is the measured knee)."""
         self.model, self.variables, self.model_cfg = load_model_from_checkpoint(checkpoint)
+        if cache_dtype == "auto":
+            cache_dtype = "int8" if int(getattr(self.model_cfg, "dim", 0)) >= 1024 else "fp32"
+        self.cache_dtype = cache_dtype
         if tokenizer_path is None:
             tokenizer_path = os.path.join(checkpoint, "tokenizer.json")
         self.tokenizer = load_tokenizer(tokenizer_path)

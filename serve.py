@@ -47,10 +47,14 @@ def main():
     )
     parser.add_argument("--warmup-greedy", action="store_true")
     parser.add_argument(
-        "--cache-dtype", choices=("fp32", "bf16", "int8"), default="fp32",
+        "--cache-dtype", choices=("auto", "fp32", "bf16", "int8"),
+        default="fp32",
         help="decoder KV-cache precision: fp32 (bit-stable, fastest at "
-             "flagship size) or bf16 (measured +18%% decode once caches "
-             "reach ~1 GB — serving configs at dim >= 1024)",
+             "flagship size), bf16 (measured +18%% decode once caches "
+             "reach ~1 GB — serving configs at dim >= 1024), int8 "
+             "(quantized prefix, +27%% at the same regime), or auto "
+             "(apply the measured ladder by model dim: int8 at dim >= "
+             "1024, else fp32 — BASELINE.md rounds 3-4)",
     )
     parser.add_argument("--chunk-size", type=int, default=16)
     parser.add_argument(

@@ -102,6 +102,20 @@ class TestRenderServer:
         after = server.handle_request({"id": 6, "cmd": "ping"})
         assert after["ok"] and after["requests"] == 3
 
+    def test_auto_cache_dtype_resolves_by_dim(self, checkpoint, tmp_path):
+        # "auto" applies the measured ladder: fp32 below dim 1024 (the test
+        # model is tiny), int8 at/above — and the resolved choice is recorded
+        from scoreperformer_tpu.inference import RenderServer
+
+        server = RenderServer(checkpoint, bucket=64, max_len=512,
+                              cache_dtype="auto", chunk_size=8)
+        assert server.cache_dtype == "fp32"
+        score = synthetic_score(np.random.RandomState(11), n_bars=3)
+        path = str(tmp_path / "auto.mid")
+        write_midi(score, path)
+        r = server.handle_request({"id": 1, "score": path, "greedy": True})
+        assert r["ok"], r
+
     def test_bf16_cache_server_renders(self, checkpoint, tmp_path):
         # the big-cache serving config (BASELINE.md: bf16 KV caches measured
         # +18% at >= 1 GB) must produce a valid render end-to-end
