@@ -526,13 +526,10 @@ def flagship_decode_cache_bytes_per_token(dtype_bytes: int = 4) -> float:
 
 
 def _enable_compile_cache():
-    import jax
+    # host-keyed: stale cross-host XLA:CPU AOT entries can segfault on load
+    from scoreperformer_tpu.utils import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def main():

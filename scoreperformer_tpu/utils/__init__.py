@@ -7,4 +7,5 @@ from .functions import (
     or_reduce,
     prob2bool,
 )
+from .cache import enable_compile_cache, host_cache_dir
 from .io import dump_json, load_json

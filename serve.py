@@ -79,11 +79,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # host-keyed: stale cross-host XLA:CPU AOT entries can segfault on load
+    from scoreperformer_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from scoreperformer_tpu.inference.server import RenderServer
 

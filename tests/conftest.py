@@ -20,8 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the slow suite's cost is dominated by repeated
 # XLA:CPU compiles of near-identical train/eval/decode programs; caching them
 # cuts reruns of the heavy modules severalfold (first run still pays).
-jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache_tests")
-try:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# HOST-KEYED (utils/cache.py): /tmp persists across heterogeneous CI hosts,
+# and XLA:CPU AOT entries from a different machine can SIGSEGV on load
+# (observed mid-suite) — a fingerprinted dir makes them unreachable.
+from scoreperformer_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("/tmp/sp_jax_cache_tests")

@@ -14,11 +14,11 @@ def main():
 
     import jax
 
-    try:  # persistent compile cache (crucial on remote-compile TPU platforms)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compile cache (crucial on remote-compile TPU platforms);
+    # host-keyed so cross-host XLA:CPU AOT entries can't segfault on load
+    from scoreperformer_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from scoreperformer_tpu.training import ExperimentComponents
 
