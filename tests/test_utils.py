@@ -138,3 +138,28 @@ class TestYamlLoader:
         import datetime
 
         assert cfg["name"] == f"run-{datetime.datetime.now().year}"
+
+
+class TestHostKeyedCompileCache:
+    """utils/cache.py: the persistent-compile-cache dir must be stable on one
+    host and keyed by the host fingerprint (cross-host XLA:CPU AOT entries
+    segfaulted on load — the dir suffix makes them unreachable)."""
+
+    def test_stable_and_base_scoped(self):
+        from scoreperformer_tpu.utils import host_cache_dir
+
+        a = host_cache_dir()
+        assert a == host_cache_dir()  # deterministic on one host
+        assert a.startswith("/tmp/sp_jax_cache_")
+        b = host_cache_dir("/tmp/other_base")
+        assert b.startswith("/tmp/other_base_")
+        assert a.split("_")[-1] == b.split("_")[-1]  # same host suffix
+
+    def test_enable_points_jax_at_it(self):
+        import jax
+
+        from scoreperformer_tpu.utils import enable_compile_cache, host_cache_dir
+
+        path = enable_compile_cache("/tmp/sp_jax_cache_tests")
+        assert path == host_cache_dir("/tmp/sp_jax_cache_tests")
+        assert jax.config.jax_compilation_cache_dir == path
