@@ -20,102 +20,87 @@ def build_score_direction_maps(
     bar_stretch: Optional[int] = None,
     time_division: int = 480,
 ):
-    score_direction_bar_maps, score_direction_note_maps = [], []
-    direction_score_bar_maps, direction_score_note_maps = {}, {}
+    per_score_bar, per_score_note = [], []
+    per_key_bar, per_key_note = {}, {}
 
     for score_idx, score in enumerate(sp_dataset.score_names):
         score_seq = sp_dataset.scores[score_idx]
         ticks_data = sp_dataset.tokenizer.compute_ticks(score_seq, time_division=time_division)
-        score_notes, score_bars = ticks_data["note_on"], ticks_data["bar"]
+        note_ticks, bar_ticks = ticks_data["note_on"], ticks_data["bar"]
+        n_bars, n_notes = bar_ticks.shape[0] - 1, score_seq.shape[0]
 
-        score_directions = score_directions_dict.get(score, [])
-        if len(score_directions) and isinstance(score_directions[0], list):
-            score_directions = [d for part in score_directions for d in part]
+        marks = score_directions_dict.get(score, [])
+        if len(marks) and isinstance(marks[0], list):
+            marks = [m for part in marks for m in part]
 
-        direction_bar_maps, direction_note_maps = {}, {}
-        for d in score_directions:
-            key = d["type"]
+        bar_maps, note_maps = {}, {}
+        for mark in marks:
+            key = mark["type"]
             if direction_keys is not None and key not in direction_keys:
                 continue
 
-            if d.get("end", None) is not None:  # ranged markings
-                if key not in direction_bar_maps:
-                    direction_bar_maps[key] = np.zeros(score_bars.shape[0] - 1)
-                bar_map = direction_bar_maps[key]
-
-                start = int(find_closest(score_bars, d["start"]))
-                end = int(find_closest(score_bars, d["end"]))
-                end = max(end, start + 1)
+            if mark.get("end") is not None:  # ranged markings
+                lo = int(find_closest(bar_ticks, mark["start"]))
+                hi = max(int(find_closest(bar_ticks, mark["end"])), lo + 1)
                 if bar_stretch is not None:
-                    end = min(end, start + 1 + bar_stretch)
-                bar_map[start:end] = 1
+                    hi = min(hi, lo + 1 + bar_stretch)
+                bar_maps.setdefault(key, np.zeros(n_bars))[lo:hi] = 1
 
-                if key not in direction_note_maps:
-                    direction_note_maps[key] = np.zeros(score_seq.shape[0])
-                note_map = direction_note_maps[key]
-                note_map[(d["start"] <= score_notes) & (score_notes <= d["end"])] = 1
+                covered = (mark["start"] <= note_ticks) & (note_ticks <= mark["end"])
+                note_maps.setdefault(key, np.zeros(n_notes))[covered] = 1
 
-            elif d.get("offset", None) is not None:  # note articulation
-                if key not in direction_note_maps:
-                    direction_note_maps[key] = np.zeros(score_seq.shape[0])
-                direction_note_maps[key][d["offset"]] = 1
+            elif mark.get("offset") is not None:  # note articulation
+                note_maps.setdefault(key, np.zeros(n_notes))[mark["offset"]] = 1
 
-        score_direction_bar_maps.append(dict(sorted(direction_bar_maps.items())))
-        score_direction_note_maps.append(dict(sorted(direction_note_maps.items())))
+        per_score_bar.append(dict(sorted(bar_maps.items())))
+        per_score_note.append(dict(sorted(note_maps.items())))
 
-        for key, bar_map in direction_bar_maps.items():
-            direction_score_bar_maps.setdefault(key, [])
-            if np.any(bar_map):
-                direction_score_bar_maps[key].append((score_idx, bar_map))
-        for key, note_map in direction_note_maps.items():
-            direction_score_note_maps.setdefault(key, [])
-            if np.any(note_map):
-                direction_score_note_maps[key].append((score_idx, note_map))
+        for store, maps in ((per_key_bar, bar_maps), (per_key_note, note_maps)):
+            for key, active in maps.items():
+                rows = store.setdefault(key, [])
+                if active.any():
+                    rows.append((score_idx, active))
 
     return {
-        "score": {"bar": score_direction_bar_maps, "note": score_direction_note_maps},
+        "score": {"bar": per_score_bar, "note": per_score_note},
         "direction": {
-            "bar": dict(sorted(direction_score_bar_maps.items())),
-            "note": dict(sorted(direction_score_note_maps.items())),
+            "bar": dict(sorted(per_key_bar.items())),
+            "note": dict(sorted(per_key_note.items())),
         },
     }
 
 
+def _units_in_score(sp_dataset, score_idx: int, level: str) -> int:
+    """Embedding rows one performance of this score contributes: bars (from
+    the last Bar token) or notes."""
+    score_seq = sp_dataset.scores[score_idx]
+    if level == "bar":
+        return int(score_seq[-1, 0]) - sp_dataset.tokenizer.zero_token + 1
+    return int(score_seq.shape[0])
+
+
 def get_performance_idx_map(sp_dataset, level: str = "bar") -> np.ndarray:
     """(directions.py:146-155)"""
-    perf_ids = []
+    rows = []
     for score_idx, score in enumerate(sp_dataset.score_names):
-        score_seq = sp_dataset.scores[score_idx]
+        width = _units_in_score(sp_dataset, score_idx, level)
         for perf in sp_dataset.metadata[score]:
-            num_ids = (
-                score_seq[-1, 0] - sp_dataset.tokenizer.zero_token + 1
-                if level == "bar"
-                else score_seq.shape[0]
-            )
-            perf_ids.append(
-                np.full(num_ids, sp_dataset.performances._name_to_idx[perf])
-            )
-    return np.concatenate(perf_ids, axis=0)
+            rows.append(np.full(width, sp_dataset.performances._name_to_idx[perf]))
+    return np.concatenate(rows, axis=0)
 
 
 def get_direction_performances_map(
     sp_dataset, score_direction_maps, key: str, level: str = "bar"
 ) -> np.ndarray:
     """(directions.py:124-143)"""
-    dir_perf_map = []
+    rows = []
     for score_idx, score in enumerate(sp_dataset.score_names):
-        score_dir_map = score_direction_maps[score_idx]
-        if key not in score_dir_map:
-            score_seq = sp_dataset.scores[score_idx]
-            if level == "bar":
-                dir_map = np.zeros(score_seq[-1, 0] - sp_dataset.tokenizer.zero_token + 1)
-            else:
-                dir_map = np.zeros(score_seq.shape[0])
-        else:
-            dir_map = score_dir_map[key]
-        for _ in sp_dataset.metadata[score]:
-            dir_perf_map.append(dir_map)
-    return np.concatenate(dir_perf_map, axis=0).astype(bool)
+        per_key = score_direction_maps[score_idx]
+        active = per_key.get(key)
+        if active is None:
+            active = np.zeros(_units_in_score(sp_dataset, score_idx, level))
+        rows.extend([active] * len(sp_dataset.metadata[score]))
+    return np.concatenate(rows, axis=0).astype(bool)
 
 
 class DirectionBarEmbeddingDataset:
@@ -156,18 +141,16 @@ class DirectionBarEmbeddingDataset:
             for key in direction_keys
         ]
 
-        nodir_map = np.ones(self.embeddings.shape[0], dtype=bool)
-        for _, dir_map in direction_maps:
-            nodir_map[dir_map] = False
-        direction_maps.insert(0, (None, nodir_map))
+        uncovered = np.ones(self.embeddings.shape[0], dtype=bool)
+        for _, active in direction_maps:
+            uncovered &= ~active
+        direction_maps.insert(0, (None, uncovered))
 
         if remove_multi_label:
-            counts = np.zeros(self.embeddings.shape[0])
-            for _, dir_map in direction_maps:
-                counts[dir_map] += 1
-            direction_maps = [
-                (key, np.logical_and(dir_map, counts == 1.0)) for key, dir_map in direction_maps
-            ]
+            hits = np.zeros(self.embeddings.shape[0], dtype=np.int64)
+            for _, active in direction_maps:
+                hits += active.astype(np.int64)
+            direction_maps = [(key, active & (hits == 1)) for key, active in direction_maps]
 
         self.direction_maps = dict(direction_maps)
         self.labels = {key: i for i, key in enumerate(self.direction_maps)}
@@ -183,29 +166,31 @@ class DirectionBarEmbeddingDataset:
         self.direction_numbers = direction_numbers
         self._length = sum(direction_numbers.values())
 
-        sample_keys, sample_ids = [], []
-        for key, dir_map in self.direction_maps.items():
+        keys_flat: list = []
+        ids_parts = []
+        for key, active in self.direction_maps.items():
             if key is None:
                 continue
-            sample_keys.extend([key] * direction_numbers[key])
-            sample_ids.append(np.where(dir_map)[0])
-        sample_keys.extend([None] * direction_numbers[None])
-        sample_ids.append(np.full(direction_numbers[None], -1))
+            keys_flat += [key] * direction_numbers[key]
+            ids_parts.append(np.flatnonzero(active))
+        keys_flat += [None] * direction_numbers[None]
+        ids_parts.append(np.full(direction_numbers[None], -1))
 
-        self._sample_keys = sample_keys
-        self._sample_ids = np.concatenate(sample_ids) if sample_ids else np.empty(0, int)
-        self._nodir_ids = np.where(self.direction_maps[None])[0]
+        self._sample_keys = keys_flat
+        self._sample_ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, int)
+        self._nodir_ids = np.flatnonzero(self.direction_maps[None])
         self.num_prev_embeddings = num_prev_embeddings
 
     def get_emb_by_idx(self, emb_idx: int):
-        if self.num_prev_embeddings > 0:
-            start_idx = emb_idx
-            for _ in range(self.num_prev_embeddings):
-                if start_idx == 0 or self.perf_ids[start_idx - 1] != self.perf_ids[emb_idx]:
-                    break
-                start_idx -= 1
-            return self.embeddings[start_idx : emb_idx + 1]
-        return self.embeddings[emb_idx]
+        if self.num_prev_embeddings <= 0:
+            return self.embeddings[emb_idx]
+        # walk back up to num_prev_embeddings rows, staying inside the same
+        # performance's embedding block
+        lo = emb_idx
+        owner = self.perf_ids[emb_idx]
+        while emb_idx - lo < self.num_prev_embeddings and lo > 0 and self.perf_ids[lo - 1] == owner:
+            lo -= 1
+        return self.embeddings[lo : emb_idx + 1]
 
     def __getitem__(self, idx):
         label = self._sample_keys[idx]

@@ -144,12 +144,14 @@ class SPMuple(OctupleM):
             onset_shift = self.config.additional_params["onset_position_shifts"]
         if onset_shift:
             unique_pos, counts = np.unique(score_positions, return_counts=True)
-            pos_ids = np.arange(len(unique_pos)).repeat(counts)
-            pos_shifts = unique_pos[pos_ids] - unique_pos[pos_ids - 1]
-            pos_shifts[pos_shifts < 0] = score_positions[pos_shifts < 0]
+            owner = np.arange(len(unique_pos)).repeat(counts)
+            shifts = unique_pos[owner] - unique_pos[owner - 1]
+            # owner 0 wrapped to the last unique position above — those
+            # entries reset to the raw score position
+            shifts = np.where(shifts < 0, score_positions, shifts)
         else:
-            pos_shifts = np.concatenate([score_positions[:1], np.diff(score_positions)])
-        return pos_shifts
+            shifts = np.concatenate([score_positions[:1], np.diff(score_positions)])
+        return shifts
 
     def compute_onset_values(self, score_positions: np.ndarray):
         """(spmuple.py:738-754)"""
@@ -566,28 +568,44 @@ class SPMuple(OctupleM):
         self, token_type: str, normalize: bool = False, special_tokens: bool = True
     ) -> np.ndarray:
         """(spmuple.py:777-813)"""
-        values = super().token_type_values(token_type, normalize, special_tokens=False)
-        v = self.vocab
-        if token_type == "PositionShift":
-            values = self.position_shifts / self.max_beat_res
+        onset_cap = self.config.additional_params["max_notes_in_onset"]
+        # (raw-table builder, normalizer) per SPMuple-specific stream; other
+        # streams defer to the OctupleM tables
+        tables = {
+            "PositionShift": (
+                lambda: self.position_shifts / self.max_beat_res,
+                lambda v: np.log2(v + 1),
+            ),
+            "NotesInOnset": (
+                lambda: np.arange(1, onset_cap + 1),
+                lambda v: v / onset_cap,
+            ),
+            "PositionInOnset": (
+                lambda: np.arange(1, onset_cap + 1),
+                lambda v: v / onset_cap,
+            ),
+            "OnsetDev": (
+                lambda: np.arange(-2 * self.max_beat_res, 2 * self.max_beat_res + 1)
+                / self.max_beat_res,
+                lambda v: v / v[-1],
+            ),
+            "RelOnsetDev": (
+                lambda: self.rel_onset_deviations,
+                lambda v: np.sign(v) * np.log(np.abs(v) + 1),
+            ),
+            "RelPerfDuration": (
+                lambda: self.rel_performed_durations,
+                lambda v: np.log(np.abs(v) + 1),
+            ),
+        }
+        entry = tables.get(token_type)
+        if entry is None:
+            values = super().token_type_values(token_type, normalize, special_tokens=False)
+        else:
+            build_table, normalizer = entry
+            values = build_table()
             if normalize:
-                values = np.log2(values + 1)
-        elif token_type in ("NotesInOnset", "PositionInOnset"):
-            values = np.arange(1, self.config.additional_params["max_notes_in_onset"] + 1)
-            if normalize:
-                values = values / self.config.additional_params["max_notes_in_onset"]
-        elif token_type == "OnsetDev":
-            values = np.arange(-2 * self.max_beat_res, 2 * self.max_beat_res + 1) / self.max_beat_res
-            if normalize:
-                values = values / values[-1]
-        elif token_type == "RelOnsetDev":
-            values = self.rel_onset_deviations
-            if normalize:
-                values = np.sign(values) * np.log(np.abs(values) + 1)
-        elif token_type == "RelPerfDuration":
-            values = self.rel_performed_durations
-            if normalize:
-                values = np.log(np.abs(values) + 1)
+                values = normalizer(values)
         if special_tokens:
             values = np.concatenate([np.zeros(self.zero_token), values])
         return values

@@ -24,18 +24,17 @@ def plot_performance_parameter(tokenizer, total_seq, perf_seq, token_type: str =
     preds = values_map[np.clip(preds_tok, 0, len(values_map) - 1)]
     targets = values_map[np.clip(targets_tok, 0, len(values_map) - 1)]
 
-    fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(16, 12))
-    fig.suptitle(f"Performance Notes, {token_type}", fontsize=20)
-    ax0.plot(preds)
-    ax0.plot(targets)
-    ax1.plot(preds - targets)
-    ax0.legend(["Generated", "Target"], fontsize=18)
-    ax1.legend(["Difference"], fontsize=18)
-    ax0.get_xaxis().set_visible(False)
-    ax1.set_xlabel("note id", fontsize=16)
-    for ax in (ax0, ax1):
-        ax.tick_params(labelsize=14)
-        ax.set_ylabel(token_type.lower(), fontsize=16)
+    fig, axes = plt.subplots(nrows=2, sharex=True, figsize=(15, 10))
+    top, bottom = axes
+    for label, series in (("Generated", preds), ("Target", targets)):
+        top.plot(series, label=label)
+    bottom.plot(preds - targets, label="Difference", color="tab:red")
+    bottom.set_xlabel("note index", fontsize=15)
+    for axis in axes:
+        axis.legend(fontsize=15)
+        axis.tick_params(labelsize=13)
+        axis.set_ylabel(token_type.lower(), fontsize=15)
+    fig.suptitle(f"{token_type}: generated vs target", fontsize=18)
     fig.tight_layout()
     return fig
 
@@ -85,8 +84,8 @@ def plot_pianoroll(
     colors[:1, :] = np.array([1, 1, 1, 1])
     cmap = ListedColormap(colors)
 
-    if fig is None or ax is None:
-        fig, ax = plt.subplots(1, 1, figsize=figsize)
+    if ax is None or fig is None:
+        fig, ax = plt.subplots(figsize=figsize)
 
     roll = midi_to_pianoroll(midi, fs, min_pitch, max_pitch, max_velocity)
     extent = (0, roll.shape[1] / fs, min_pitch, max_pitch + 1)
@@ -101,10 +100,11 @@ def plot_pianoroll(
     ax.set_ylabel("pitch", fontsize=16)
     ax.tick_params(labelsize=14)
 
-    has_notes = min_pitch + np.where(np.any(roll != 0.0, axis=1))[0]
-    if len(has_notes) > 0:
-        ymin = max(min_pitch, has_notes[0] - has_notes[0] % 12) - 2.5
-        ymax = min(max_pitch, has_notes[-1] + 12 - has_notes[-1] % 12) + 1.5
-        ax.set_ylim(ymin, ymax)
     ax.grid(alpha=0.5)
+    sounding = min_pitch + np.flatnonzero(roll.any(axis=1))
+    if sounding.size:
+        # zoom to the octave-aligned sounding range
+        lo = max(min_pitch, sounding[0] - sounding[0] % 12) - 2.5
+        hi = min(max_pitch, sounding[-1] + 12 - sounding[-1] % 12) + 1.5
+        ax.set_ylim(lo, hi)
     return fig, ax
