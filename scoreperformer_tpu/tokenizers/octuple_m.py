@@ -423,9 +423,9 @@ class OctupleM:
         midi = MidiScore(ticks_per_beat=time_division)
         ticks_data = self.compute_ticks(tokens, time_division, compute_beat_ticks=True)
 
-        pitches = self.decode_token_type(tokens, "Pitch")
-        velocities = self.decode_token_type(tokens, "Velocity")
         durations = self.decode_token_type(tokens, "Duration") * ticks_per_sample
+        velocities = self.decode_token_type(tokens, "Velocity")
+        pitches = self.decode_token_type(tokens, "Pitch")
 
         note_on_ticks = ticks_data["note_on"].astype(np.int64)
         note_off_ticks = (note_on_ticks + durations).astype(np.int64)
@@ -435,20 +435,18 @@ class OctupleM:
             time_sig_ticks.astype(np.int64), time_sigs[:, 0], time_sigs[:, 1]
         )
 
-        tempo_indices = np.concatenate(
-            [[0], np.where(np.diff(tokens[:, self.types_idx["Tempo"]]))[0] + 1]
-        )
-        tempos = self.decode_token_type(tokens[tempo_indices], "Tempo")
+        tempo_col = tokens[:, self.types_idx["Tempo"]]
+        change_rows = np.concatenate([[0], np.flatnonzero(np.diff(tempo_col)) + 1])
+        tempos = self.decode_token_type(tokens[change_rows], "Tempo")
         if len(tempos) > 0:
             beat_ticks = ticks_data["beat"]
-            tempo_ticks = note_on_ticks[tempo_indices]
-            tempo_ticks = beat_ticks[
-                np.minimum(np.searchsorted(beat_ticks, tempo_ticks), beat_ticks.shape[0] - 1)
-            ]
-            tempo_ticks[0] = 0
+            # snap each change to the beat grid at/after its note-on
+            anchors = np.searchsorted(beat_ticks, note_on_ticks[change_rows])
+            change_ticks = beat_ticks[anchors.clip(max=beat_ticks.shape[0] - 1)]
+            change_ticks[0] = 0
         else:
-            tempo_ticks = np.array([0])
-        midi.tempos = TempoMap(tempo_ticks.astype(np.int64), np.round(tempos, 3))
+            change_ticks = np.array([0])
+        midi.tempos = TempoMap(change_ticks.astype(np.int64), np.round(tempos, 3))
 
         if self.config.use_programs:
             programs = self.decode_token_type(tokens, "Program")
@@ -498,34 +496,50 @@ class OctupleM:
     ) -> np.ndarray:
         """(octuple_m.py:414-458)"""
         v = self.vocab
-        if token_type == "Bar":
-            values = np.arange(1, v.max_bar_embedding + 1)
-            if normalize:
-                values = values / v.max_bar_embedding
-        elif token_type == "Position":
-            values = np.arange(v.nb_positions)
-            if normalize:
-                values = values / v.max_beat_res / 4
-        elif token_type == "Pitch":
-            values = np.arange(*self.config.pitch_range)
-            if normalize:
-                values = values % 127
-        elif token_type == "Velocity":
-            values = v.velocities
-            if normalize:
-                values = values / v.velocities[-1]
-        elif token_type in ("Duration", "PerfDuration"):
-            values = v.duration_values
-            if normalize:
-                values = np.log2(values + 1)
-        elif token_type == "Tempo":
-            values = v.tempos
-            if normalize:
-                values = np.log2(values / v.tempos[0])
-        elif token_type == "TimeSig":
-            values = np.array([n / d for n, d in v.time_signatures])
-        else:
+        # (raw-table builder, normalizer) per stream; unknown streams map to
+        # an all-zero table of the stream's base size
+        tables = {
+            "Bar": (
+                lambda: np.arange(1, v.max_bar_embedding + 1),
+                lambda x: x / v.max_bar_embedding,
+            ),
+            "Position": (
+                lambda: np.arange(v.nb_positions),
+                lambda x: x / v.max_beat_res / 4,
+            ),
+            "Pitch": (
+                lambda: np.arange(*self.config.pitch_range),
+                lambda x: x % 127,
+            ),
+            "Velocity": (
+                lambda: v.velocities,
+                lambda x: x / v.velocities[-1],
+            ),
+            "Duration": (
+                lambda: v.duration_values,
+                lambda x: np.log2(x + 1),
+            ),
+            "PerfDuration": (
+                lambda: v.duration_values,
+                lambda x: np.log2(x + 1),
+            ),
+            "Tempo": (
+                lambda: v.tempos,
+                lambda x: np.log2(x / v.tempos[0]),
+            ),
+            "TimeSig": (
+                lambda: np.array([n / d for n, d in v.time_signatures]),
+                lambda x: x,
+            ),
+        }
+        entry = tables.get(token_type)
+        if entry is None:
             values = np.zeros(v.base_size(token_type))
+        else:
+            build_table, normalizer = entry
+            values = build_table()
+            if normalize:
+                values = normalizer(values)
 
         if special_tokens:
             values = np.concatenate([np.zeros(self.zero_token), values])
