@@ -75,6 +75,23 @@ def test_plots_render_without_display(tmp_path):
     assert (tmp_path / "roll.png").stat().st_size > 0
 
 
+def test_plot_performance_parameter(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    from scoreperformer_tpu.data.synthetic import synthetic_score
+    from scoreperformer_tpu.tokenizers import SPMupleWindow, TokenizerConfig
+    from scoreperformer_tpu.utils.plots import plot_performance_parameter
+
+    tok = SPMupleWindow(TokenizerConfig(additional_params={"max_bar_embedding": 64}))
+    score = synthetic_score(np.random.RandomState(2), n_bars=3)
+    seq = tok.score_tokens_as_performance(tok.score_midi_to_tokens(score)).ids
+    fig = plot_performance_parameter(tok, seq, seq, token_type="Velocity")
+    fig.savefig(tmp_path / "param.png")
+    assert (tmp_path / "param.png").stat().st_size > 0
+
+
 def test_async_checkpoint_roundtrip(tmp_path):
     """Async saves commit on a background thread; wait_for_async_saves (and
     load_checkpoint, which calls it) must see the full payload. Repeated async
