@@ -150,8 +150,6 @@ def measure_tpu_decode(batch=32, seq=256, repeats=3):
             sample_dims=(3, 5, 10, 11),
         )
 
-    import numpy as np
-
     def dispatch(seed):
         return unmask(
             jax.random.PRNGKey(seed),
@@ -331,8 +329,6 @@ def measure_tpu_train(batch=128, seq=256, repeats=3, **build_kw):
     n_params = int(sum(x.size for x in jax.tree.leaves(params)))
     step = jax.jit(train_step, donate_argnums=(0, 1))
     params, opt_state, loss = step(params, opt_state, train_batch, jax.random.PRNGKey(0))
-
-    import numpy as np
 
     def fetch(x):
         # scalar host fetch forces completion (block_until_ready is

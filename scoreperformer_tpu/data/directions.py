@@ -13,6 +13,15 @@ import numpy as np
 from ..utils import find_closest
 
 
+def _map_for(maps: dict, key: str, width: int) -> np.ndarray:
+    # lazy zeros: setdefault would allocate a fresh O(width) array on every
+    # marking even when the key already exists
+    m = maps.get(key)
+    if m is None:
+        m = maps[key] = np.zeros(width)
+    return m
+
+
 def build_score_direction_maps(
     sp_dataset,
     score_directions_dict: Dict[str, List[dict]],
@@ -44,13 +53,13 @@ def build_score_direction_maps(
                 hi = max(int(find_closest(bar_ticks, mark["end"])), lo + 1)
                 if bar_stretch is not None:
                     hi = min(hi, lo + 1 + bar_stretch)
-                bar_maps.setdefault(key, np.zeros(n_bars))[lo:hi] = 1
+                _map_for(bar_maps, key, n_bars)[lo:hi] = 1
 
                 covered = (mark["start"] <= note_ticks) & (note_ticks <= mark["end"])
-                note_maps.setdefault(key, np.zeros(n_notes))[covered] = 1
+                _map_for(note_maps, key, n_notes)[covered] = 1
 
             elif mark.get("offset") is not None:  # note articulation
-                note_maps.setdefault(key, np.zeros(n_notes))[mark["offset"]] = 1
+                _map_for(note_maps, key, n_notes)[mark["offset"]] = 1
 
         per_score_bar.append(dict(sorted(bar_maps.items())))
         per_score_note.append(dict(sorted(note_maps.items())))

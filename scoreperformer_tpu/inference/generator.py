@@ -154,13 +154,16 @@ class StreamingDecoder:
 
     BLOCK_BUCKETS = (4, 8, 16, 32)
 
-    def _build_block_fn(self, n_pad, greedy, temperature, filter_kwargs,
-                        mask_cols, filter_fn):
+    def _build_block_fn(self, n_pad, greedy, filter_kwargs, mask_cols,
+                        filter_fn):
+        from ..models.wrappers import _stream_order
+
         model, variables = self.model, self.variables
         filter_kwargs = dict(filter_kwargs or {})
+        n_streams = len(_stream_order(model))
 
         def block_fn(caches, prev_row, blk_tokens, blk_masked, blk_style,
-                     blk_ctx, start, rng):
+                     blk_ctx, start, rng, temperature):
             # prev_row: (1, S) the already-known row at position first-1;
             # blk_*: (1, n_pad, ...) rows first..first+n_pad-1 (+1-aligned
             # companions of the consumed rows); start = first - 1.
@@ -189,6 +192,10 @@ class StreamingDecoder:
                 )
                 row = jax.lax.dynamic_slice_in_dim(blk_tokens, k, 1, 1)[:, 0]
                 rng, step_rng = jax.random.split(rng)
+                # same per-stream key derivation as _decode_rows_per_note
+                # (split over ALL logit streams, indexed by column), so both
+                # paths draw from one stream for a given seed
+                srngs = jax.random.split(step_rng, n_streams)
                 new_row = row
                 for s, key in mask_cols:
                     lg = logits[key].astype(jnp.float32)
@@ -197,10 +204,8 @@ class StreamingDecoder:
                         samp = jnp.argmax(lg, axis=-1)
                     else:
                         filtered = filter_fn(lg, **filter_kwargs)
-                        if temperature != 1.0:
-                            filtered = filtered / temperature
                         samp = jax.random.categorical(
-                            jax.random.fold_in(step_rng, s), filtered, axis=-1
+                            srngs[s], filtered / temperature, axis=-1
                         )
                     samp = samp.astype(row.dtype)
                     new_row = new_row.at[:, s].set(
@@ -248,14 +253,16 @@ class StreamingDecoder:
                 )
             return jnp.asarray(a[None])
 
-        key = (n_pad, bool(greedy), float(temperature),
+        # temperature is a TRACED argument of the block fn, not part of the
+        # key: interactive temperature steering between windows must not
+        # recompile the scan program (minutes-slow on a tunneled chip)
+        key = (n_pad, bool(greedy),
                tuple(sorted((filter_kwargs or {}).items())), tuple(mask_cols),
                filter_fn)
         fn = self._block_fns.get(key)
         if fn is None:
             fn = self._build_block_fn(
-                n_pad, greedy, temperature, filter_kwargs, tuple(mask_cols),
-                filter_fn,
+                n_pad, greedy, filter_kwargs, tuple(mask_cols), filter_fn,
             )
             self._block_fns[key] = fn
 
@@ -268,6 +275,7 @@ class StreamingDecoder:
             pad(context, n_pad),
             first - 1,
             rng,
+            jnp.float32(temperature),
         )
         self.consumed = first + n - 1  # padded tail rows are stale/masked
         return np.asarray(jax.device_get(rows))[:n]
@@ -572,8 +580,11 @@ class ScorePerformerGenerator:
         while not self.perf_data.reached_eos:
             if use_block:
                 # block of upcoming notes (chord boundaries are irrelevant to
-                # the device scan — each step feeds the previous decoded row)
-                end = min(current_note_idx + block_size, len(perf_notes))
+                # the device scan — each step feeds the previous decoded row);
+                # bounded by half the context window so a block plus some
+                # retained context always fits the KV cache
+                eff_block = max(1, min(block_size, max_context_len // 2))
+                end = min(current_note_idx + eff_block, len(perf_notes))
                 new_notes = perf_notes[current_note_idx:end].copy()
                 eos_rows = np.where(new_notes[:, bar_col] == self.eos_token_id)[0]
                 if eos_rows.size:
@@ -619,6 +630,23 @@ class ScorePerformerGenerator:
                     fits = np.where(window.shape[0] - (next_bar_idx + first) < max_context_len)[0]
                     if len(fits) > 0 and next_bar_idx[fits[0]] + 1 + first != window.shape[0] - 1:
                         shift = int(next_bar_idx[fits[0]] + 1 + first)
+                # hard cap: the decoder's KV cache holds max_context_len
+                # rows, and decode positions are window indices — when no
+                # bar boundary fits (a single bar wider than the window),
+                # shift=1 would let the window outgrow the cache and clamp
+                # KV writes past capacity, silently corrupting attention.
+                # Starting mid-bar is what shift=1 already does; shift far
+                # enough that the window fits.
+                min_shift = window.shape[0] - max_context_len + 1
+                if shift < min_shift:
+                    if min_shift > window.shape[0] - num_new:
+                        raise ValueError(
+                            f"a single decode group of {num_new} notes "
+                            f"cannot fit the {max_context_len}-token "
+                            f"context window; raise max_context_len or "
+                            f"disable group_chord_notes"
+                        )
+                    shift = min_shift
                 window = window[shift:]
                 known_len -= shift
                 window_start += shift

@@ -97,7 +97,9 @@ def measure(batch, dtype_name, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     results = {}
     for batch, dtype_name in CONFIGS:

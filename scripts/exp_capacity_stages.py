@@ -56,7 +56,9 @@ def measure(label, stages, batch=512, seq=256, repeats=4):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     for stages in (1, 2, 4, 1, 2, 4):
         print(f"capacity_stages={stages}", flush=True)

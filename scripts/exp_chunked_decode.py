@@ -16,7 +16,8 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+from scoreperformer_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 from bench import build_flagship  # noqa: E402
 from scoreperformer_tpu.models.wrappers import mixedlm_unmask  # noqa: E402

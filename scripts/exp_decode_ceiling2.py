@@ -81,7 +81,9 @@ def main():
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     steps = {}
     for seq in SEQS:

@@ -69,7 +69,9 @@ def measure(label, flat, steps=10):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     for flat in (False, True, False, True):
         print(f"flat_updates={flat}", flush=True)

@@ -50,7 +50,9 @@ def measure(label, batch=512, seq=256, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from scoreperformer_tpu.models import layers as L
 
     for flag in (True, False, True):

@@ -62,7 +62,9 @@ def measure(label, steps=10):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from scoreperformer_tpu.models import layers as L
 
     for flag in (False, True, False):

@@ -58,7 +58,9 @@ def measure(label, cache_dtype, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     for cache_dtype in ("fp32", "int8", "fp32", "int8"):
         print(f"cache={cache_dtype} C=16", flush=True)
         measure(f"flagship decode cache={cache_dtype} C=16", cache_dtype)

@@ -24,7 +24,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from bench import build_flagship
     from scoreperformer_tpu.models.wrappers import mixedlm_unmask

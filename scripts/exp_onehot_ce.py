@@ -62,7 +62,9 @@ def measure(label, steps=10):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from scoreperformer_tpu.models import scoreperformer as sp
 
     for flag in (False, True, False):  # off, on, off-again (load control)

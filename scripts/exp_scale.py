@@ -23,7 +23,9 @@ def measure_variant(name, batch, seq, bf16, remat, use_flash, steps=8):
     import jax.numpy as jnp
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from bench import build_flagship
 
     try:

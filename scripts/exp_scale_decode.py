@@ -76,7 +76,9 @@ def measure(label, cache_dtype, chunk, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     print(f"scale decode: dim {DIM}, dec depth {DEPTH_DEC}, heads {HEADS}, "
           f"dim_head {DIM_HEAD}, batch {BATCH}, seq {SEQ} "
           f"(cache bytes fp32 = {SEQ * BATCH * DIM_HEAD * 4 * 2 * DEPTH_DEC / 1e9:.2f} GB)",

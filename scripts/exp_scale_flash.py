@@ -36,7 +36,9 @@ def measure(use_flash, batch=8, seq=1024, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     for seq in (1024, 2048):
         base = measure(False, seq=seq)

@@ -75,7 +75,9 @@ def measure(label, params_dtype, cache_dtype, repeats=3):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     print(f"scale params x cache: dim {DIM}, dec depth {DEPTH_DEC}, "
           f"batch {BATCH}, seq {SEQ}", flush=True)
     for params_dtype, cache_dtype in (

@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+from scoreperformer_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:

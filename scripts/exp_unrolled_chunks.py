@@ -53,7 +53,9 @@ def measure(label, unrolled, batch=512, seq=256, repeats=4):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     for flag in (False, True, False, True):
         print(f"unrolled_chunks={flag}", flush=True)

@@ -26,7 +26,9 @@ def capture():
     import jax
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sp_jax_cache")
+    from scoreperformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from bench import build_flagship
 
