@@ -194,138 +194,159 @@ class ScorePerformanceDataset:
         self.alignments = alignments
 
         if isinstance(tokenizer, dict):
-            cls = TOKENIZERS[tokenizer["tokenization"]]
             from ..tokenizers import TokenizerConfig
 
-            self.tokenizer = cls(TokenizerConfig.from_dict(tokenizer["config"]))
-        else:
-            self.tokenizer = tokenizer
+            tokenizer = TOKENIZERS[tokenizer["tokenization"]](
+                TokenizerConfig.from_dict(tokenizer["config"])
+            )
+        self.tokenizer = tokenizer
         self.encoding = type(self.tokenizer).__name__
+        assert max_bar <= self.tokenizer.config.additional_params["max_bar_embedding"]
+        assert not (fit_to_max_bar and fit_to_zero_bar)
 
-        self.augment_performance = augment_performance
-        self.noisy_performance = noisy_performance
-        if self.augment_performance == 0.0 and not self.noisy_performance:
-            pitch_shift_range = velocity_shift_range = tempo_shift_range = (0, 0)
-        self.noise_strength = noise_strength
-        self.noisy_random_bars = noisy_random_bars
-
-        self.processor = TupleTokenSequenceProcessor(
-            tokenizer=self.tokenizer,
-            pitch_shift_range=pitch_shift_range,
-            velocity_shift_range=velocity_shift_range,
-            tempo_shift_range=tempo_shift_range,
-        )
-
-        if auxiliary_data is not None:
-            for key, data in auxiliary_data.items():
-                setattr(self, key, data)
-
+        # window-shape knobs
         self.max_seq_len = max_seq_len
         self.max_bar = max_bar
         self.bar_sliding_window = bar_sliding_window
         self.add_sos_eos = add_sos_eos
-        assert max_bar <= self.tokenizer.config.additional_params["max_bar_embedding"]
+        self.fit_to_max_bar = fit_to_max_bar
+        self.fit_to_zero_bar = fit_to_zero_bar
 
-        self.indexer = TupleTokenSequenceIndexer(self.tokenizer)
-        self._score_indices = [None] * len(self.scores)
-        self._perf_indices = [None] * len(self.performances)
-
-        self.bars = getattr(self, "bars", {})
-        for perf_idx, perf in enumerate(self.performance_names):
-            if perf not in self.bars:
-                self.bars[perf] = get_num_bars(self.performances[perf_idx], self.tokenizer)
-        perf_num_bars = np.array([self.bars[perf] for perf in self.performance_names])
-
-        self._length, self._sample_positions, self._sample_ids = compute_bar_sample_positions(
-            seq_num_bars=perf_num_bars, bar_sliding_window=self.bar_sliding_window
-        )
-
-        # precomputed beat/onset segment maps per score (score_performance.py:186-191)
-        self._beat_maps, self._onset_maps = [], []
-        for score_idx in range(len(self.scores)):
-            score_seq = self.scores[score_idx]
-            ticks_data = self.tokenizer.compute_ticks(score_seq, compute_beat_ticks=True)
-            self._beat_maps.append(
-                np.searchsorted(ticks_data["beat"], ticks_data["note_on"], side="right") - 1
-            )
-            unique_onsets, onset_notes = np.unique(ticks_data["note_on"], return_counts=True)
-            self._onset_maps.append(np.arange(len(unique_onsets)).repeat(onset_notes))
-
+        # stochastic-sampling knobs (all drawn from the explicit RandomState)
         self.sample = sample
         self.seed = seed
         self._rng = np.random.RandomState(seed)
-
         self.sample_bars = sample_bars
         self.sample_note_shift = sample_note_shift
+        self.sample_bar_offset = sample_bar_offset
         self.force_max_seq_len = force_max_seq_len
 
-        assert not (fit_to_max_bar and fit_to_zero_bar)
-        self.fit_to_max_bar = fit_to_max_bar
-        self.fit_to_zero_bar = fit_to_zero_bar
-        self.sample_bar_offset = sample_bar_offset
-
+        # augmentation knobs; shift ranges collapse to (0, 0) when neither
+        # augmented nor noisy performances can ever request a shift
+        self.augment_performance = augment_performance
+        self.noisy_performance = noisy_performance
+        self.noise_strength = noise_strength
+        self.noisy_random_bars = noisy_random_bars
         self.deadpan_performance = deadpan_performance
+        augmentable = self.noisy_performance or self.augment_performance != 0.0
+        self.processor = TupleTokenSequenceProcessor(
+            tokenizer=self.tokenizer,
+            pitch_shift_range=pitch_shift_range if augmentable else (0, 0),
+            velocity_shift_range=velocity_shift_range if augmentable else (0, 0),
+            tempo_shift_range=tempo_shift_range if augmentable else (0, 0),
+        )
+        self.indexer = TupleTokenSequenceIndexer(self.tokenizer)
 
-        # direction labels (score_performance.py:216-247)
+        # auxiliary payloads (e.g. precomputed `bars`) attach as attributes
+        for key, data in (auxiliary_data or {}).items():
+            setattr(self, key, data)
+
+        # lazy per-sequence bar-index caches
+        self._score_indices = [None] * len(self.scores)
+        self._perf_indices = [None] * len(self.performances)
+
+        # bar counts per performance (reusing any preloaded entries), then
+        # the flattened strided-window table over them
+        self.bars = getattr(self, "bars", {})
+        self.bars.update(
+            {
+                perf: get_num_bars(self.performances[i], self.tokenizer)
+                for i, perf in enumerate(self.performance_names)
+                if perf not in self.bars
+            }
+        )
+        self._length, self._sample_positions, self._sample_ids = compute_bar_sample_positions(
+            seq_num_bars=np.array([self.bars[p] for p in self.performance_names]),
+            bar_sliding_window=self.bar_sliding_window,
+        )
+
+        self._precompute_note_segment_maps()
+        self._init_direction_labels(performance_directions, score_directions_dict)
+
+    def _precompute_note_segment_maps(self) -> None:
+        """Per-score beat/onset segment ids for every note.
+
+        Counterpart of the beat-note maps in score_performance.py:186-191,
+        computed as bucketing problems: beat ids bin note onsets into the
+        beat-tick grid, onset ids are the rank of each note's onset among
+        the distinct onsets (``np.unique`` inverse).
+        """
+        self._beat_maps, self._onset_maps = [], []
+        for seq in self.scores:
+            ticks = self.tokenizer.compute_ticks(seq, compute_beat_ticks=True)
+            onsets = ticks["note_on"]
+            self._beat_maps.append(np.digitize(onsets, ticks["beat"]) - 1)
+            self._onset_maps.append(np.unique(onsets, return_inverse=True)[1])
+
+    def _init_direction_labels(self, performance_directions, score_directions_dict) -> None:
+        """Resolve direction-label config (score_performance.py:216-247).
+
+        Accepts a path / flat list / {group: [names]} dict; a flat list
+        becomes a single "directions" group. Each group's class count is
+        len(names) + 1 for the implicit 'none' class 0.
+        """
         if isinstance(performance_directions, (str, Path)):
             performance_directions = load_json(performance_directions)
-        performance_direction_sizes = None
-        if performance_directions is not None:
-            assert score_directions_dict is not None
-            if isinstance(performance_directions, list):
-                performance_directions = {"directions": list(performance_directions)}
-            performance_direction_sizes = {
-                key: len(vals) + 1 for key, vals in performance_directions.items()
-            }
+        if isinstance(performance_directions, list):
+            performance_directions = {"directions": list(performance_directions)}
         self.performance_directions = performance_directions
-        self.performance_direction_sizes = performance_direction_sizes
+        self.performance_direction_sizes = None
+        self.score_direction_maps = None
+        if performance_directions is None:
+            return
 
+        assert score_directions_dict is not None
+        self.performance_direction_sizes = {
+            group: len(names) + 1 for group, names in performance_directions.items()
+        }
         if isinstance(score_directions_dict, (str, Path)):
             score_directions_dict = load_json(score_directions_dict)
 
-        self.score_direction_maps = None
-        if score_directions_dict is not None:
-            from .directions import build_score_direction_maps
+        from .directions import build_score_direction_maps
 
-            direction_keys = [
-                item for group in self.performance_directions.values() for item in group
-            ]
-            self.score_direction_maps = build_score_direction_maps(
-                self, score_directions_dict, direction_keys=direction_keys
-            )["score"]["note"]
+        all_names = [n for names in performance_directions.values() for n in names]
+        self.score_direction_maps = build_score_direction_maps(
+            self, score_directions_dict, direction_keys=all_names
+        )["score"]["note"]
 
     def reseed(self, seed: int) -> None:
         """Reseed the sampling RNG (per-epoch reproducibility hook)."""
         self._rng = np.random.RandomState(seed)
 
     def get_direction_class_weights(self):
-        """(score_performance.py:250-279)"""
-        from collections import defaultdict
+        """Per-group direction class frequencies (score_performance.py:250-279).
 
-        directions_nums = {g: defaultdict(int) for g in self.performance_directions}
-        none_key = (0, "none")
-        total_notes = 0
-        for score_idx, score in enumerate(self.score_names):
-            maps = self.score_direction_maps[score_idx]
-            num_perfs = len(self.metadata[score])
-            total_notes += len(self.scores[score_idx]) * num_perfs
-            for group_name, group_directions in self.performance_directions.items():
-                directions_nums[group_name][none_key] += len(self.scores[score_idx]) * num_perfs
-                for i, key in enumerate(group_directions):
-                    num_notes = int(maps[key].sum()) if key in maps else 0
-                    directions_nums[group_name][(i + 1, key)] += num_notes * num_perfs
+        Returns ``(fractions, weights)``: ``fractions[group]`` maps
+        ``(class_id, name)`` to the fraction of (note, performance) pairs
+        labelled with that class — class 0 ('none') absorbs the remainder —
+        and ``weights[group]`` is the same list in class-id order.
+        Computed as one vectorized counts matrix (scores x directions)
+        contracted against per-score performance multiplicities.
+        """
+        n_perfs = np.array(
+            [len(self.metadata[s]) for s in self.score_names], dtype=np.float64
+        )
+        n_notes = np.array([len(s) for s in self.scores], dtype=np.float64)
+        total = float(n_notes @ n_perfs)
 
-        weights = {}
-        for group_name, group_directions in self.performance_directions.items():
-            not_empty = (
-                sum(directions_nums[group_name].values()) - directions_nums[group_name][none_key]
-            )
-            directions_nums[group_name][none_key] = (total_notes - not_empty) / total_notes
-            for i, key in enumerate(group_directions):
-                directions_nums[group_name][(i + 1, key)] /= total_notes
-            weights[group_name] = list(directions_nums[group_name].values())
+        fractions, weights = {}, {}
+        for group, names in self.performance_directions.items():
+            # counts[i, j] = labelled notes for direction j in score i
+            counts = np.array(
+                [
+                    [float(maps[name].sum()) if name in maps else 0.0 for name in names]
+                    for maps in self.score_direction_maps
+                ],
+                dtype=np.float64,
+            ).reshape(len(self.score_direction_maps), len(names))
+            per_direction = n_perfs @ counts
+            table = {(0, "none"): (total - float(per_direction.sum())) / total}
+            for j, name in enumerate(names):
+                table[(j + 1, name)] = float(per_direction[j]) / total
+            fractions[group] = table
+            weights[group] = list(table.values())
 
-        return directions_nums, weights
+        return fractions, weights
 
     # ---- sampling internals ----
 

@@ -163,12 +163,14 @@ class StreamingDecoder:
         n_streams = len(_stream_order(model))
 
         def block_fn(caches, prev_row, blk_tokens, blk_masked, blk_style,
-                     blk_ctx, start, rng, temperature):
+                     blk_ctx, start, note_base, rng, temperature):
             # prev_row: (1, S) the already-known row at position first-1;
             # blk_*: (1, n_pad, ...) rows first..first+n_pad-1 (+1-aligned
-            # companions of the consumed rows); start = first - 1.
+            # companions of the consumed rows); start = first - 1;
+            # note_base = absolute index (in the generated sequence) of the
+            # first block row, anchoring the per-note rng derivation.
             def body(carry, k):
-                caches, prev, rng = carry
+                caches, prev = carry
 
                 def sl(a):
                     return (
@@ -191,10 +193,12 @@ class StreamingDecoder:
                     method=lambda m, h: m.perf_decoder.apply_lm_head(h),
                 )
                 row = jax.lax.dynamic_slice_in_dim(blk_tokens, k, 1, 1)[:, 0]
-                rng, step_rng = jax.random.split(rng)
-                # same per-stream key derivation as _decode_rows_per_note
-                # (split over ALL logit streams, indexed by column), so both
-                # paths draw from one stream for a given seed
+                # PARTITION-INVARIANT key derivation: fold the absolute note
+                # index into the window rng, then split per logit stream —
+                # identical to _decode_rows_per_note, so the sampled stream
+                # for a given seed does not depend on how notes are grouped
+                # into blocks vs chord groups
+                step_rng = jax.random.fold_in(rng, note_base + k)
                 srngs = jax.random.split(step_rng, n_streams)
                 new_row = row
                 for s, key in mask_cols:
@@ -211,18 +215,18 @@ class StreamingDecoder:
                     new_row = new_row.at[:, s].set(
                         jnp.where(row[:, s] == MASK, samp, row[:, s])
                     )
-                return (out.caches, new_row, rng), new_row[0]
+                return (out.caches, new_row), new_row[0]
 
-            (caches, _, _), rows = jax.lax.scan(
-                body, (caches, prev_row, rng), jnp.arange(n_pad)
+            (caches, _), rows = jax.lax.scan(
+                body, (caches, prev_row), jnp.arange(n_pad)
             )
             return caches, rows  # rows: (n_pad, S)
 
         return jax.jit(block_fn)
 
     def decode_block(
-        self, tokens, masked_tokens, style, context, first, n, rng,
-        greedy, temperature, filter_kwargs, mask_cols, filter_fn=top_k,
+        self, tokens, masked_tokens, style, context, first, n, note_base,
+        rng, greedy, temperature, filter_kwargs, mask_cols, filter_fn=top_k,
     ):
         """Decode rows [first, first+n) of `tokens` in one compiled scan.
 
@@ -274,6 +278,7 @@ class StreamingDecoder:
             pad(style, n_pad),
             pad(context, n_pad),
             first - 1,
+            note_base,
             rng,
             jnp.float32(temperature),
         )
@@ -479,7 +484,7 @@ class ScorePerformerGenerator:
         return tuple((int(s), keys[int(s)]) for s in self.mask_dims)
 
     def _decode_rows_per_note(
-        self, wb, wb_masked, style, ctx, window, base, num_new,
+        self, wb, wb_masked, style, ctx, window, base, num_new, note_base,
         bar_shift, bar_col, rng, greedy, temperature, filter_fn, filter_kwargs,
     ):
         """Per-note decode: one predict (host logits sync) per position."""
@@ -490,7 +495,11 @@ class ScorePerformerGenerator:
             # fetches cost a device round-trip each (~25 ms on a tunneled
             # chip; measured 300 ms vs 32 ms per step)
             logits = jax.device_get(logits)
-            rng, step_rng = jax.random.split(rng)
+            # partition-invariant per-note key (see decode_block's scan body):
+            # fold the ABSOLUTE note index into the window rng, so the drawn
+            # key depends only on (seed, note), never on the chord-group or
+            # block partition that reached it
+            step_rng = jax.random.fold_in(rng, note_base + k)
             row = wb[pos].copy()
             srngs = jax.random.split(step_rng, len(logits))
             # NB: predict() crosses a jit boundary, which SORTS dict keys —
@@ -688,12 +697,12 @@ class ScorePerformerGenerator:
 
             base = wb.shape[0] - num_new
             rows = None
-            rng, group_rng = jax.random.split(rng)
             if use_block:
                 # ONE compiled scan decodes + samples the whole block on
                 # device; a single host sync fetches the decoded rows
                 rows = self._decoder.decode_block(
-                    wb, wb_masked, style, ctx, base, num_new, group_rng,
+                    wb, wb_masked, style, ctx, base, num_new,
+                    current_note_idx, rng,
                     greedy=greedy, temperature=temperature,
                     filter_kwargs=filter_kwargs,
                     mask_cols=sampled_cols,
@@ -709,13 +718,13 @@ class ScorePerformerGenerator:
             else:
                 # per-note fallback (tempo host refresh, or a block that
                 # would wrap the ring cache): unmask each position in turn.
-                # group_rng is a dedicated subkey — the outer rng is never
-                # split again on it, so per-note keys can't collide across
-                # consecutive groups
+                # keys are fold_in(rng, absolute_note_index) — identical
+                # derivation to the block path, so per-note keys can't
+                # collide across groups and can't diverge from block decode
                 self._decode_rows_per_note(
                     wb, wb_masked, style, ctx, window, base, num_new,
-                    bar_shift, bar_col, group_rng, greedy, temperature,
-                    filter_fn, filter_kwargs,
+                    current_note_idx, bar_shift, bar_col, rng, greedy,
+                    temperature, filter_fn, filter_kwargs,
                 )
 
             gen_tokens = window[base:].copy()

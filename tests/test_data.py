@@ -109,6 +109,14 @@ class TestDataset:
         nums, weights = dataset.get_direction_class_weights()
         assert set(weights.keys()) == {"dynamics", "articulations"}
         assert len(weights["dynamics"]) == 2
+        for group, table in nums.items():
+            # class 0 ('none') leads and absorbs the remainder: each group's
+            # fractions partition the (note, performance) population
+            keys = list(table.keys())
+            assert keys[0] == (0, "none")
+            assert weights[group] == list(table.values())
+            assert all(0.0 <= v <= 1.0 for v in table.values())
+            assert abs(sum(table.values()) - 1.0) < 1e-12
 
 
 class TestCollator:

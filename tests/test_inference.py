@@ -211,10 +211,11 @@ class TestGenerator:
         np.testing.assert_array_equal(per_note, block)
 
     def test_block_decode_matches_per_note_sampled(self, generator):
-        """SAMPLED parity between the paths: the block fn derives per-stream
-        keys exactly like _decode_rows_per_note (rng split per note, then
-        split over all logit streams indexed by column), so the same seed
-        must yield the same sampled trajectory on either path."""
+        """SAMPLED parity between the paths: both derive per-note keys as
+        fold_in(window_rng, absolute_note_index) then split over all logit
+        streams indexed by column — partition-invariant, so the same seed
+        must yield the same sampled trajectory whether notes are decoded in
+        16-note blocks or chord-group-at-a-time."""
         import jax
 
         def run(block_size):
@@ -369,14 +370,17 @@ class TestGenerator:
         # drop 4 warmup windows: each block bucket jit-compiles on first use,
         # and a bucket first reached at window >= 2 would put a compile into
         # the measured set on a loaded CI host
-        # assert on the BEST steady window: this guards the code path (no
-        # per-window recompiles / host chatter), while being robust to
-        # transient load on a shared single-core CI host. The real SLO
-        # measurement is the TPU run in scripts/exp_streaming_slo.py.
+        # assert on a ROBUST LOW QUANTILE (25th pct) of steady windows: this
+        # guards the code path (a per-window recompile or host-chatter
+        # regression slows EVERY window, so the lower quartile catches it),
+        # while staying robust to transient scheduler stalls on a shared
+        # single-core CI host — a single lucky window can no longer mask a
+        # multi-x regression. The real SLO measurement is the TPU run in
+        # scripts/exp_streaming_slo.py.
         steady = sorted(walls[4:])
-        best = steady[0]
-        assert best < window, (
-            f"best steady window wall {best * 1e3:.0f} ms exceeds the "
+        q25 = steady[max(0, (len(steady) - 1) // 4)]
+        assert q25 < window, (
+            f"25th-pct steady window wall {q25 * 1e3:.0f} ms exceeds the "
             f"{window * 1e3:.0f} ms real-time budget"
         )
 

@@ -14,6 +14,8 @@ from scoreperformer_tpu.tokenizers import (
 
 REF_WINDOW_JSON = "/root/reference/data/tokenizers/spmuple_window.json"
 REF_ONSET_JSON = "/root/reference/data/tokenizers/spmuple_onset.json"
+REF_BAR_JSON = "/root/reference/data/tokenizers/spmuple_bar.json"
+REF_BEAT_JSON = "/root/reference/data/tokenizers/spmuple_beat.json"
 
 
 def make_midi(note_tuples, tempos=None, time_sigs=None, tpb=480, velocity=80):
@@ -84,6 +86,63 @@ class TestVocabGolden:
             assert len(values[key]) == sz, key
         # normalized tempo is log2 ratio: first real tempo -> 0
         assert values["Tempo"][tok.zero_token] == 0.0
+
+
+class TestBarBeatGolden:
+    """Golden coverage of the two remaining shipped reference configs
+    (reference data/tokenizers/spmuple_bar.json, spmuple_beat.json)."""
+
+    SIZES = {
+        "Bar": 260,
+        "Position": 132,
+        "Pitch": 92,
+        "Velocity": 132,
+        "Duration": 133,
+        "Tempo": 125,
+        "TimeSig": 26,
+        "PositionShift": 69,
+        "NotesInOnset": 16,
+        "PositionInOnset": 16,
+        "RelOnsetDev": 165,
+        "RelPerfDuration": 85,
+    }
+
+    @pytest.mark.parametrize(
+        "path,cls_name,bar_tempos",
+        [(REF_BAR_JSON, "SPMupleBar", True), (REF_BEAT_JSON, "SPMupleBeat", False)],
+    )
+    def test_vocab_and_bins(self, path, cls_name, bar_tempos):
+        tok = load_tokenizer(path)
+        assert type(tok).__name__ == cls_name
+        assert tok.sizes == self.SIZES
+        assert tok.zero_token == 4
+        assert tok.config.additional_params["bar_tempos"] is bar_tempos
+        golden = json.load(open(path))["config"]["additional_params"]["token_bins"]
+        assert np.allclose(tok.rel_onset_deviations, golden["rel_onset_deviations"])
+        assert np.allclose(tok.rel_performed_durations, golden["rel_performed_durations"])
+
+    @pytest.mark.parametrize("path", [REF_BAR_JSON, REF_BEAT_JSON])
+    def test_shipped_config_roundtrip(self, path):
+        """Encode->decode a synthetic piece through the shipped config."""
+        tok = load_tokenizer(path)
+        score = simple_score(n_bars=4)
+        score_seq = tok.score_midi_to_tokens(score)
+        assert score_seq.ids.shape[1] == 10
+
+        perf = MidiScore(ticks_per_beat=480)
+        notes = score.tracks[0].notes
+        perf.tracks.append(Track(notes=notes.copy()))
+        perf.tempos = TempoMap([0], [100.0])
+        perf.recompute_max_tick()
+
+        perf_seq = tok.performance_midi_to_tokens(perf, score_seq)
+        assert perf_seq.ids.shape == (score_seq.ids.shape[0], 12)
+        devs = tok.decode_token_type(perf_seq.ids, "RelOnsetDev")
+        assert np.all(np.abs(devs) < 1e-6)
+
+        midi = tok.performance_tokens_to_midi(perf_seq)
+        out = midi.tracks[0].notes.sort("time")
+        assert out.start.tolist() == sorted(notes.start.tolist())
 
 
 class TestOctupleM:
