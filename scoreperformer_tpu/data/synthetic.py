@@ -51,6 +51,97 @@ def synthetic_score(
     return score
 
 
+PATHOLOGY_KINDS = (
+    "mid_bar_tempo",
+    "time_sig_changes",
+    "overlapping_voices",
+    "dense_pedals",
+    "anacrusis",
+)
+
+
+def synthetic_pathological_score(
+    rng: np.random.RandomState,
+    kind: str,
+    n_bars: int = 12,
+    tpb: int = 480,
+    base_pitch: int = 48,
+) -> MidiScore:
+    """Scores exhibiting real-corpus pathologies the preprocessing pipeline
+    must survive (reference edge cases: data/midi/preprocess.py:11-91 and
+    data/midi/utils.py:31-177):
+
+    - ``mid_bar_tempo``: tempo changes on off-beat ticks inside bars,
+      including two changes within one bar.
+    - ``time_sig_changes``: 4/4 -> 3/4 -> 6/8 sections plus one time-sig
+      event on a misaligned (non-bar) tick.
+    - ``overlapping_voices``: same-pitch overlapping notes and duplicated
+      onsets (cut_overlapping_notes / remove_duplicated_notes paths).
+    - ``dense_pedals``: sustain-pedal runs re-pressed every bar covering
+      nearly the whole piece.
+    - ``anacrusis``: a pickup encoded as a short 1/4 first bar before the
+      4/4 body.
+    """
+    if kind not in PATHOLOGY_KINDS:
+        raise ValueError(f"unknown pathology kind: {kind!r}")
+    score = synthetic_score(rng, n_bars=n_bars, tpb=tpb, base_pitch=base_pitch)
+    bar = 4 * tpb
+
+    if kind == "mid_bar_tempo":
+        # off-beat mid-bar changes; bar 5 gets two changes
+        times = [0, bar + tpb // 2 + 7, 3 * bar + 3 * tpb, 5 * bar + tpb // 3,
+                 5 * bar + 2 * tpb + 11, 8 * bar + tpb]
+        bpms = [120.0, 96.0, 132.0, 84.0, 108.0, 140.0]
+        score.tempos = TempoMap(np.array(times), np.array(bpms))
+
+    elif kind == "time_sig_changes":
+        from ..midi import TimeSigMap
+
+        # 4 bars of 4/4, then 3/4, then 6/8; one event lands mid-bar
+        ts_times = [0, 4 * bar, 4 * bar + 4 * 3 * tpb + tpb // 2]
+        score.time_sigs = TimeSigMap(
+            np.array(ts_times), np.array([4, 3, 6]), np.array([4, 4, 8])
+        )
+
+    elif kind == "overlapping_voices":
+        notes = score.tracks[0].notes
+        # clone a slice of the melody shifted by a quarter so the same
+        # pitches overlap their originals; duplicate a few onsets exactly
+        sel = np.arange(len(notes)) % 3 == 0
+        over = notes[sel].copy()
+        over.start = over.start + tpb // 4
+        over.end = over.end + tpb
+        dup = notes[np.arange(len(notes)) % 7 == 0].copy()
+        score.tracks[0].notes = notes.concat(over).concat(dup).sort("time")
+
+    elif kind == "dense_pedals":
+        # pedal down for ~95% of every bar, re-pressed at each downbeat
+        starts = np.arange(n_bars) * bar
+        ends = starts + int(bar * 0.95)
+        score.tracks[0].pedals = np.stack([starts, ends], axis=1).astype(np.int64)
+
+    elif kind == "anacrusis":
+        from ..midi import TimeSigMap
+
+        # short 1/4 pickup bar: two eighth notes, then the 4/4 body shifted
+        notes = score.tracks[0].notes
+        notes.start = notes.start + tpb
+        notes.end = notes.end + tpb
+        pickup = NoteArray.from_tuples(
+            [
+                (base_pitch + 12 + int(MAJOR[4]), 60, 0, tpb // 2),
+                (base_pitch + 12 + int(MAJOR[5]), 64, tpb // 2, tpb),
+            ]
+        )
+        score.tracks[0].notes = pickup.concat(notes).sort("time")
+        score.time_sigs = TimeSigMap(
+            np.array([0, tpb]), np.array([1, 4]), np.array([4, 4])
+        )
+
+    score.recompute_max_tick()
+    return score
+
+
 def synthetic_performance(
     score: MidiScore,
     rng: np.random.RandomState,
@@ -104,8 +195,14 @@ def build_synthetic_dataset(
     max_bar_embedding: int = 256,
     with_directions: bool = True,
     splits: bool = False,
+    pathologies: bool = False,
 ) -> str:
-    """Write a full dataset directory; returns `root`."""
+    """Write a full dataset directory; returns `root`.
+
+    With ``pathologies=True``, one extra score per ``PATHOLOGY_KINDS`` entry
+    (mid-bar tempo changes, time-sig sections, overlapping voices, dense
+    pedals, anacrusis) is appended so the whole train/render lifecycle
+    exercises real-corpus edge cases."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
 
@@ -114,11 +211,17 @@ def build_synthetic_dataset(
     )
     tokenizer.save(os.path.join(root, "config.json"))
 
+    kinds = list(PATHOLOGY_KINDS) if pathologies else []
     metadata = {}
     directions_dict = {}
-    for si in range(n_scores):
+    for si in range(n_scores + len(kinds)):
         score_name = f"score_{si:03d}"
-        score = synthetic_score(rng, n_bars=n_bars, base_pitch=44 + 4 * si)
+        if si < n_scores:
+            score = synthetic_score(rng, n_bars=n_bars, base_pitch=44 + 4 * si)
+        else:
+            score = synthetic_pathological_score(
+                rng, kinds[si - n_scores], n_bars=n_bars, base_pitch=48
+            )
         score_seq = tokenizer.score_midi_to_tokens(score)
         dump_json({"ids": score_seq.ids.tolist()}, os.path.join(root, score_name + ".json"))
 

@@ -117,3 +117,65 @@ class TestPrepareDataset:
             with open(os.path.join(parallel, name)) as f:
                 b = json.load(f)
             assert a == b, name
+
+
+class TestPathologicalLifecycle:
+    def test_pathological_scores_through_prepare(self, tmp_path):
+        """MIDI-file prepare over the pathological corpus: mid-bar tempo
+        changes, time-sig sections, overlapping voices, dense pedal runs and
+        an anacrusis all survive align -> tokenize -> dataset -> sample."""
+        from scoreperformer_tpu.data.synthetic import (
+            PATHOLOGY_KINDS,
+            synthetic_pathological_score,
+        )
+
+        raw = tmp_path / "raw"
+        rng = np.random.RandomState(23)
+        pairs = []
+        for kind in PATHOLOGY_KINDS:
+            piece = raw / kind
+            piece.mkdir(parents=True)
+            score = synthetic_pathological_score(rng, kind, n_bars=6)
+            write_midi(score, str(piece / "score.mid"))
+            perf = synthetic_performance(score, rng, tempo_base=104.0)
+            path = str(piece / "perf0.mid")
+            write_midi(perf, path)
+            pairs.append((kind, str(piece / "score.mid"), [path]))
+
+        out = str(tmp_path / "dataset")
+        prepare_dataset(pairs, out, tokenization="SPMupleWindow")
+
+        dataset = LocalScorePerformanceDataset(
+            root=out, max_seq_len=64, bar_sliding_window=4,
+            fit_to_zero_bar=True, add_sos_eos=True,
+            auxiliary_data_keys=["bars", "initial_tempos"],
+            preload=True,
+        )
+        assert len(dataset.scores) == len(PATHOLOGY_KINDS)
+        for i in range(min(len(dataset), 20)):
+            sample = dataset[i]
+            assert sample.perf.shape[0] == sample.score.shape[0]
+            assert sample.perf.shape[1] == 12
+
+    def test_synthetic_dataset_with_pathologies(self, tmp_path):
+        """build_synthetic_dataset(pathologies=True) appends one piece per
+        pathology kind and the dataset loads + samples over all of them."""
+        from scoreperformer_tpu.data.synthetic import PATHOLOGY_KINDS, build_synthetic_dataset
+
+        root = build_synthetic_dataset(
+            str(tmp_path / "ds"), n_scores=1, n_perfs_per_score=1, n_bars=8,
+            seed=3, pathologies=True,
+        )
+        dataset = LocalScorePerformanceDataset(
+            root=root, max_seq_len=64, bar_sliding_window=4,
+            fit_to_zero_bar=True, add_sos_eos=True, preload=True,
+        )
+        assert len(dataset.scores) == 1 + len(PATHOLOGY_KINDS)
+        seen = set()
+        for i in range(len(dataset)):
+            sample = dataset[i]
+            # _sample_ids holds each performance's start offset into the
+            # flattened window table — invert it to the performance index
+            seen.add(int(np.searchsorted(dataset._sample_ids, i, side="right")) - 1)
+            assert sample.perf.shape[0] == sample.score.shape[0]
+        assert len(seen) == len(dataset.scores) * 1  # every piece sampled

@@ -2,7 +2,12 @@
 import numpy as np
 import pytest
 
-from scoreperformer_tpu.data.synthetic import synthetic_performance, synthetic_score
+from scoreperformer_tpu.data.synthetic import (
+    PATHOLOGY_KINDS,
+    synthetic_pathological_score,
+    synthetic_performance,
+    synthetic_score,
+)
 from scoreperformer_tpu.tokenizers import (
     OctupleM,
     SPMupleWindow,
@@ -76,6 +81,18 @@ class TestPerformanceTokenStability:
         d2 = np.sort(tok.decode_token_type(seq2.ids, "RelOnsetDev"))
         assert np.abs(d1 - d2).mean() < 0.05
 
+    def test_pathological_performance_lifecycle(self, tok):
+        """Every pathological score survives the full performance
+        encode -> decode cycle with all notes intact."""
+        for kind in PATHOLOGY_KINDS:
+            score = synthetic_pathological_score(np.random.RandomState(13), kind)
+            score_seq = tok.score_midi_to_tokens(score)
+            perf = synthetic_performance(score, np.random.RandomState(14), tempo_base=100.0)
+            pseq = tok.performance_midi_to_tokens(perf, score_seq)
+            assert pseq.ids.shape == (score_seq.ids.shape[0], 12), kind
+            dec = tok.performance_tokens_to_midi(pseq)
+            assert len(dec.all_notes()) == len(score_seq.ids), kind
+
     def test_deadpan_decode_is_regular(self, tok):
         """A deadpan performance decodes to strictly tempo-regular timing."""
         rng = np.random.RandomState(41)
@@ -95,3 +112,96 @@ class TestPerformanceTokenStability:
         gaps = np.diff(unique_times)[:-1]
         gaps = gaps[gaps > 0.01]
         assert gaps.std() < 0.02, (gaps.mean(), gaps.std())
+
+
+class TestPathologies:
+    """Real-corpus pathologies (reference preprocess edge cases at
+    data/midi/preprocess.py:11-91 and data/midi/utils.py:31-177) must
+    tokenize deterministically: score -> tokens -> MIDI -> tokens is the
+    identity, except the documented Tempo snap-to-next-beat semantics."""
+
+    @pytest.mark.parametrize("kind", [k for k in PATHOLOGY_KINDS if k != "mid_bar_tempo"])
+    def test_score_fixed_point(self, tok, kind):
+        score = synthetic_pathological_score(np.random.RandomState(3), kind)
+        seq1 = tok.score_midi_to_tokens(score)
+        midi = tok.score_tokens_to_midi(seq1)
+        seq2 = tok.score_midi_to_tokens(midi)
+        np.testing.assert_array_equal(seq1.ids, seq2.ids)
+
+    def test_mid_bar_tempo_fixed_point_modulo_beat_snap(self, tok):
+        """Decode snaps each tempo change to the beat at/after the carrying
+        note (same rule as the reference, common/octuple_m.py:249-252), so a
+        change first carried by an off-beat note may shift onto the NEXT
+        note on re-encode. Everything else must be the identity, and Tempo
+        may differ only on isolated boundary rows."""
+        score = synthetic_pathological_score(np.random.RandomState(3), "mid_bar_tempo")
+        seq1 = tok.score_midi_to_tokens(score)
+        midi = tok.score_tokens_to_midi(seq1)
+        seq2 = tok.score_midi_to_tokens(midi)
+        t = tok.types_idx["Tempo"]
+        for i in range(seq1.ids.shape[1]):
+            if i == t:
+                continue
+            np.testing.assert_array_equal(seq1.ids[:, i], seq2.ids[:, i])
+        n_changes = len(np.flatnonzero(np.diff(seq1.ids[:, t])))
+        n_diff = int((seq1.ids[:, t] != seq2.ids[:, t]).sum())
+        assert n_diff <= n_changes, (n_diff, n_changes)
+        # and the second pass IS a fixed point (quantization has converged)
+        seq3 = tok.score_midi_to_tokens(tok.score_tokens_to_midi(seq2))
+        np.testing.assert_array_equal(seq2.ids, seq3.ids)
+
+    def test_time_sig_sections_advance_bars(self, tok):
+        score = synthetic_pathological_score(np.random.RandomState(3), "time_sig_changes")
+        seq = tok.score_midi_to_tokens(score)
+        # three distinct time signatures survive tokenization
+        assert len(np.unique(seq.ids[:, tok.types_idx["TimeSig"]])) == 3
+        # shorter bars in the 3/4 and 6/8 sections -> more bars than 4/4 alone
+        assert (seq.ids[:, tok.types_idx["Bar"]] - tok.zero_token).max() > 12
+
+    def test_anacrusis_pickup_bar(self, tok):
+        score = synthetic_pathological_score(np.random.RandomState(3), "anacrusis")
+        seq = tok.score_midi_to_tokens(score)
+        bars = seq.ids[:, tok.types_idx["Bar"]] - tok.zero_token
+        # exactly the two pickup notes inhabit the short first bar
+        assert (bars == 0).sum() == 2
+        assert bars.max() >= 12
+
+    def test_dense_pedals_roundtrip_with_sustain(self):
+        from scoreperformer_tpu.tokenizers import SPMupleWindow, TokenizerConfig
+
+        ptok = SPMupleWindow(
+            TokenizerConfig(
+                use_sustain_pedals=True, additional_params={"max_bar_embedding": 64}
+            )
+        )
+        score = synthetic_pathological_score(np.random.RandomState(3), "dense_pedals")
+        assert len(score.tracks[0].pedals) == 12
+        seq1 = ptok.score_midi_to_tokens(score)
+        midi = ptok.score_tokens_to_midi(seq1)
+        seq2 = ptok.score_midi_to_tokens(midi)
+        np.testing.assert_array_equal(seq1.ids, seq2.ids)
+
+    def test_overlapping_voices_preprocess_cuts(self, tok):
+        """preprocess_midi (the reference's prep-time pipeline) resolves the
+        overlaps/duplicates: afterwards no two same-pitch notes overlap and
+        no exact (pitch, start) duplicates remain."""
+        from scoreperformer_tpu.midi import preprocess_midi
+
+        score = synthetic_pathological_score(np.random.RandomState(3), "overlapping_voices")
+        clean = preprocess_midi(
+            score.copy(), clean_duplicates=True, cut_overlapped_notes=True
+        )
+        notes = clean.all_notes()
+        onsets = set()
+        for pitch in np.unique(notes.pitch):
+            sel = notes[notes.pitch == pitch]
+            order = np.argsort(sel.start)
+            s, e = sel.start[order], sel.end[order]
+            assert np.all(e[:-1] <= s[1:]), pitch
+            for st in s:
+                assert (int(pitch), int(st)) not in onsets
+                onsets.add((int(pitch), int(st)))
+        # the cleaned score then tokenizes to a fixed point
+        seq1 = tok.score_midi_to_tokens(clean)
+        seq2 = tok.score_midi_to_tokens(tok.score_tokens_to_midi(seq1))
+        np.testing.assert_array_equal(seq1.ids, seq2.ids)
