@@ -144,5 +144,14 @@ class MoEFeedForward(nn.Module):
             aux = aux + self.router_z_weight * jnp.sum(z**2 * valid) / n_valid
         self.sow("losses", "moe_aux", aux)
 
+        # observability: fraction of routed (token, choice) assignments that
+        # overflowed expert capacity and were dropped (combine weight zeroed).
+        # Sown into a separate collection so the Trainer can LOG it without
+        # adding it to the loss (sown "losses" leaves are summed into the
+        # objective, trainer.py).
+        n_routed = jnp.maximum(oh_flat.sum(), 1.0)
+        drop_rate = 1.0 - keep.sum() / n_routed
+        self.sow("metrics", "moe_drop", drop_rate)
+
         # keep the residual stream dtype: dispatch/combine are fp32
         return y.astype(x.dtype)

@@ -340,7 +340,7 @@ class Trainer:
             # for dense models
             out, mut = model.apply(
                 {"params": p}, **batch, deterministic=False, rngs=rngs,
-                mutable=["losses"],
+                mutable=["losses", "metrics"],
             )
             loss = out.loss.astype(jnp.float32)
             losses = dict(out.losses)
@@ -349,6 +349,12 @@ class Trainer:
                 aux = sum(v.astype(jnp.float32) for v in sown)
                 loss = loss + aux
                 losses["loss/moe_aux"] = aux
+            sown_m = jax.tree.leaves(mut.get("metrics", {}))
+            if sown_m:
+                # mean over MoE layers; logged, NOT added to the loss
+                losses["stats/moe_drop"] = sum(
+                    v.astype(jnp.float32) for v in sown_m
+                ) / len(sown_m)
             return loss, losses
 
         if remat:
@@ -396,12 +402,17 @@ class Trainer:
             p_c = _cast_tree(params, jnp.bfloat16) if bf16 else params
             out, mut = model.apply(
                 {"params": p_c}, **batch, deterministic=True, rngs=rngs,
-                mutable=["losses"],
+                mutable=["losses", "metrics"],
             )
             metrics = {"loss": out.loss.astype(jnp.float32)}
             sown = jax.tree.leaves(mut.get("losses", {}))
             if sown:
                 metrics["loss/moe_aux"] = sum(v.astype(jnp.float32) for v in sown)
+            sown_m = jax.tree.leaves(mut.get("metrics", {}))
+            if sown_m:
+                metrics["stats/moe_drop"] = sum(
+                    v.astype(jnp.float32) for v in sown_m
+                ) / len(sown_m)
             metrics.update({k: v.astype(jnp.float32) for k, v in out.losses.items()})
             if evaluator is not None and "labels" in batch:
                 metrics.update(evaluator(batch["labels"], out.perf_decoder.logits))

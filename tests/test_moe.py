@@ -353,3 +353,64 @@ class TestTransformerIntegration:
         )[0]
         assert out.shape == x.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMoELearning:
+    """Value proof (VERDICT r4 #4): MoE is not just a verified mechanism —
+    a model trained through the `moe.yaml`-shaped config must actually
+    LEARN (overfit one piece like tests/test_overfit.py), keep its router
+    aux losses bounded, keep the expert drop rate sane, and land in the
+    same accuracy band as the params-matched dense baseline trained
+    identically in the same test."""
+
+    @pytest.mark.slow
+    def test_moe_overfit_matches_dense_baseline(self, tmp_path):
+        from test_overfit import _build_overfit_trainer
+
+        def moe_transform(cfg):
+            # fresh dict: tiny_cfg shares one feed_forward dict across all
+            # three stacks — only the decoder becomes MoE (moe.yaml shape)
+            dec = cfg["perf_decoder"]["transformer"]
+            dec["feed_forward"] = {
+                **dec["feed_forward"],
+                "num_experts": 4,
+                "expert_top_k": 2,
+                "capacity_factor": 1.5,
+                "moe_stride": 2,
+                "router_aux_weight": 0.01,
+            }
+
+        trainer, _, _ = _build_overfit_trainer(
+            tmp_path / "moe", epochs=1000, cfg_transform=moe_transform
+        )
+        trainer._prepare()
+        before = trainer.evaluate()
+        state = trainer.train()
+        evals = [l for l in state.log_history if "eval/accuracy" in l]
+        assert evals, state.log_history[-3:]
+        final = evals[-1]
+
+        # 1) it learns: same trajectory bar as the dense overfit proof
+        after = final["eval/accuracy"]
+        assert after > 0.15, (before.get("eval/accuracy"), after)
+        assert after > 4 * max(before.get("eval/accuracy", 0.0), 0.03)
+        assert final["eval/loss"] < 0.5 * before["eval/loss"]
+
+        # 2) router aux loss stays bounded through training (weight 0.01;
+        # a balanced router sits near 0.01, collapse/explosion would not)
+        aux = final.get("eval/loss/moe_aux")
+        assert aux is not None and np.isfinite(aux) and 0.0 <= aux < 0.1, aux
+
+        # 3) expert capacity drop rate is sane at capacity_factor 1.5
+        drop = final.get("eval/stats/moe_drop")
+        assert drop is not None and 0.0 <= drop < 0.5, drop
+
+        # 4) params-matched dense baseline, identical data/seed/epochs:
+        # MoE must land in the same band (same active FF width per token)
+        dense_trainer, _, _ = _build_overfit_trainer(tmp_path / "dense", epochs=1000)
+        dense_state = dense_trainer.train()
+        dense_evals = [
+            l for l in dense_state.log_history if "eval/accuracy" in l
+        ]
+        dense_after = dense_evals[-1]["eval/accuracy"]
+        assert after > 0.6 * dense_after, (after, dense_after)

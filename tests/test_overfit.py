@@ -60,7 +60,7 @@ def tiny_cfg():
     }
 
 
-def _build_overfit_trainer(tmp_path, epochs, eval_steps=999):
+def _build_overfit_trainer(tmp_path, epochs, eval_steps=999, cfg_transform=None):
     root = str(tmp_path / "ds")
     build_synthetic_dataset(root, n_scores=1, n_perfs_per_score=1, n_bars=6, seed=5,
                             with_directions=False)
@@ -75,7 +75,10 @@ def _build_overfit_trainer(tmp_path, epochs, eval_steps=999):
         mask_ignore_token_ids=[0, 1, 2, 3],
         mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
     )
-    cfg = inject_data_config(tiny_cfg(), dataset)
+    base_cfg = tiny_cfg()
+    if cfg_transform is not None:
+        cfg_transform(base_cfg)
+    cfg = inject_data_config(base_cfg, dataset)
     model, model_config = MODELS.get("ScorePerformer")(**cfg)
     evaluator = ScorePerformerEvaluator(
         tokenizer=dataset.tokenizer, mode="mixlm",
