@@ -39,7 +39,7 @@ DIM_HEAD = 64
 def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=None,
                    return_train_inputs=False, return_config=False, dim=DIM,
                    emb_dim=EMB_DIM, depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
-                   enc_depth=2, mmd_depth=4, use_flash=False):
+                   enc_depth=2, mmd_depth=4, use_flash=False, attn_extra=None):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,8 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
         "discrete_ids": [0, 1, 2, 3], "token_values": token_values,
     }
     attn = {"dim_head": dim_head, "one_kv_head": True,
-            "alibi_pos_bias": True, "alibi_learned": True, "use_flash": use_flash}
+            "alibi_pos_bias": True, "alibi_learned": True, "use_flash": use_flash,
+            **(attn_extra or {})}
     ff = {"mult": 4, "glu": True, "swish": True}
     cfg = {
         "num_tokens": num_tokens, "num_score_tokens": score_tokens,

@@ -119,6 +119,17 @@ class Attention(nn.Module):
     # long-context memory-bound regimes — the kernel never materializes the
     # (h, t, t) bias/score tensors in HBM and is OOM-free at any length.
     use_flash: bool = False
+    # Scale-train tail levers (VERDICT r4 #2), both A/B-measured on the
+    # dim-1024 train step (scripts/exp_scale_tail.py):
+    # - fused_mask_select: AND all boolean masks into one array and apply a
+    #   single where() to the (b,h,n,j) scores instead of one select per
+    #   mask. Bit-identical (where(a, where(b, x, neg), neg) ==
+    #   where(a & b, x, neg) with one shared neg).
+    # - softmax_bf16: run the mask+softmax elementwise chain in bf16
+    #   (halves the HBM traffic of the largest non-dot tensor). NOT
+    #   bit-stable vs fp32 — off by default; a scale-recipe knob.
+    fused_mask_select: bool = False
+    softmax_bf16: bool = False
 
     def setup(self):
         q_dim = self.dim_head * self.heads
@@ -353,6 +364,8 @@ class Attention(nn.Module):
             dots = add_alibi_bias(dots, bias)
 
         # --- masks (composed as in attention.py:160-186) ---
+        if self.softmax_bf16:
+            dots = dots.astype(jnp.bfloat16)
         neg = jnp.asarray(MASK_VALUE, dots.dtype)
         input_mask = context_mask if (context is not None and context_mask is not None) else mask
         if context is None and mask is not None:
@@ -360,31 +373,43 @@ class Attention(nn.Module):
         if has_cache and input_mask is not None and input_mask.shape[1] != j:
             # the caller provides a mask over the cache buffer length
             input_mask = input_mask
+
+        oks = []  # boolean masks, each broadcastable to dots (b, h, n, j)
         if input_mask is not None:
-            dots = jnp.where(input_mask[:, None, None, :], dots, neg)
+            oks.append(input_mask[:, None, None, :])
 
         if attn_mask is not None:
             if attn_mask.ndim == 2:
                 attn_mask = attn_mask[None, None]
             elif attn_mask.ndim == 3:
                 attn_mask = attn_mask[:, None]
-            dots = jnp.where(attn_mask, dots, neg)
+            oks.append(attn_mask)
 
         kpos = key_pos if key_pos is not None else jnp.arange(j)
         if self.max_attend is not None:
             dist = pos_q[:, None] - kpos[None, :]
             window_ok = (-self.max_attend < dist) & (dist <= self.max_attend)
-            dots = jnp.where(window_ok[None, None], dots, neg)
+            oks.append(window_ok[None, None])
 
         if self.causal:
             causal_ok = kpos[None, :] <= pos_q[:, None]
-            dots = jnp.where(causal_ok[None, None], dots, neg)
+            oks.append(causal_ok[None, None])
 
         if key_valid is not None:
-            dots = jnp.where(key_valid[None, None, None, :], dots, neg)
+            oks.append(key_valid[None, None, None, :])
 
-        # --- softmax in fp32 (attend.py:50) ---
-        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(dots.dtype)
+        if self.fused_mask_select and len(oks) > 1:
+            ok = oks[0]
+            for m in oks[1:]:
+                ok = ok & m
+            dots = jnp.where(ok, dots, neg)
+        else:
+            for m in oks:
+                dots = jnp.where(m, dots, neg)
+
+        # --- softmax in fp32 (attend.py:50); bf16 when softmax_bf16 ---
+        sm_dtype = jnp.bfloat16 if self.softmax_bf16 else jnp.float32
+        attn = jax.nn.softmax(dots.astype(sm_dtype), axis=-1).astype(dots.dtype)
         if self.attn_dropout is not None:
             attn = self.attn_dropout(attn, deterministic=deterministic)
 

@@ -29,6 +29,9 @@ class AttentionConfig(ModuleConfig):
     alibi_symmetric: bool = True
     alibi_learned: bool = False
     use_flash: bool = False  # see models/attention.py — XLA wins at these sizes
+    # scale-train tail levers — see models/attention.py (exp_scale_tail.py)
+    fused_mask_select: bool = False
+    softmax_bf16: bool = False
 
 
 @dataclass
@@ -102,6 +105,8 @@ class TransformerStack(nn.Module):
                     alibi_symmetric=cfg.attention.alibi_symmetric,
                     alibi_learned=cfg.attention.alibi_learned,
                     use_flash=cfg.attention.use_flash,
+                    fused_mask_select=cfg.attention.fused_mask_select,
+                    softmax_bf16=cfg.attention.softmax_bf16,
                     name=f"layer_{ind}_attn",
                 )
             elif layer_type == "c":
@@ -116,6 +121,8 @@ class TransformerStack(nn.Module):
                     alibi_num_heads=cfg.attention.alibi_num_heads,
                     alibi_symmetric=cfg.attention.alibi_symmetric,
                     alibi_learned=cfg.attention.alibi_learned,
+                    fused_mask_select=cfg.attention.fused_mask_select,
+                    softmax_bf16=cfg.attention.softmax_bf16,
                     name=f"layer_{ind}_cross",
                 )
             else:

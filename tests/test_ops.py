@@ -255,3 +255,65 @@ def test_quantize_kv_rows_roundtrip():
     assert np.all(np.asarray(qz) == 0)
     deqz = np.asarray(qz, np.float32) * np.asarray(sz)[..., None]
     assert np.all(deqz == 0.0)
+
+
+class TestMaskSelectAndSoftmaxLevers:
+    """Scale-train tail levers (VERDICT r4 #2, models/attention.py):
+    `fused_mask_select` must be BIT-identical (one where over the ANDed
+    masks vs a chain of wheres with the same neg constant); `softmax_bf16`
+    is a numerics-changing knob that must stay close and finite."""
+
+    def _stack_and_batch(self, **attn_kwargs):
+        from scoreperformer_tpu.models.transformer import (
+            AttentionConfig,
+            FeedForwardConfig,
+            TransformerConfig,
+            TransformerStack,
+        )
+
+        cfg = TransformerConfig(
+            dim=32, depth=2, heads=2, causal=True,
+            attention=AttentionConfig(
+                dim_head=16, one_kv_head=True, alibi_pos_bias=True,
+                alibi_learned=True, max_attend_past=24, **attn_kwargs,
+            ),
+            feed_forward=FeedForwardConfig(mult=2, glu=True, swish=True),
+        )
+        stack = TransformerStack(config=cfg)
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(3, 20, 32), jnp.float32)
+        mask = jnp.asarray(rng.rand(3, 20) > 0.15).at[:, 0].set(True)
+        return stack, x, mask
+
+    def test_fused_mask_select_bit_parity(self):
+        base, x, mask = self._stack_and_batch()
+        fused, _, _ = self._stack_and_batch(fused_mask_select=True)
+        params = base.init({"params": jax.random.PRNGKey(0)}, x, mask=mask)["params"]
+        out_base = base.apply({"params": params}, x, mask=mask)[0]
+        out_fused = fused.apply({"params": params}, x, mask=mask)[0]
+        assert (np.asarray(out_base) == np.asarray(out_fused)).all()
+
+    def test_fused_mask_select_grad_bit_parity(self):
+        base, x, mask = self._stack_and_batch()
+        fused, _, _ = self._stack_and_batch(fused_mask_select=True)
+        params = base.init({"params": jax.random.PRNGKey(1)}, x, mask=mask)["params"]
+
+        def loss(stack):
+            def f(p):
+                out = stack.apply({"params": p}, x, mask=mask)[0]
+                return jnp.sum(out**2)
+            return f
+
+        g_base = jax.grad(loss(base))(params)
+        g_fused = jax.grad(loss(fused))(params)
+        for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_fused)):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_softmax_bf16_close_and_finite(self):
+        base, x, mask = self._stack_and_batch()
+        bf16, _, _ = self._stack_and_batch(softmax_bf16=True)
+        params = base.init({"params": jax.random.PRNGKey(2)}, x, mask=mask)["params"]
+        out_base = np.asarray(base.apply({"params": params}, x, mask=mask)[0])
+        out_bf16 = np.asarray(bf16.apply({"params": params}, x, mask=mask)[0])
+        assert np.isfinite(out_bf16).all()
+        np.testing.assert_allclose(out_base, out_bf16, atol=0.15, rtol=0.1)
