@@ -28,9 +28,15 @@ from ..configs import ModuleConfig
 # of a 130 ms device step (the single largest non-matmul item), while the
 # one-hot contraction and its transpose both run on the MXU (the same trade
 # the MMD segment aggregation already won with). Single-token decode steps
-# keep the gather: at seq_len == 1 the lookup is tiny, there is no backward,
-# and the gather path is the bit-parity-tested decode program.
+# (seq_len == 1) keep the gather by default: it is the bit-parity-tested
+# decode program, and the TPU one-hot alternative routes the fp32 table
+# through the MXU's bf16 inputs (token agreement 0.98 vs the gather — valid
+# samples, different trajectory). Set ONEHOT_DECODE_PRECISION to
+# jax.lax.Precision.DEFAULT to take the measured sampled-decode win
+# (scripts/exp_decode_onehot{,2}.py, BASELINE.md round 5); HIGHEST was
+# measured SLOWER than the gather and still not bit-exact — don't re-try.
 ONEHOT_LOOKUP_MIN_SEQ = 2
+ONEHOT_DECODE_PRECISION = None
 
 # default per-stream embedding dims (reference embeddings.py:14-25)
 DEFAULT_EMB_DIMS = {
@@ -280,6 +286,11 @@ class TupleTokenEmbeddings(nn.Module):
                 # one-hot matmul lookup — see ONEHOT_LOOKUP_MIN_SEQ
                 oh = jax.nn.one_hot(ids, fused.shape[0], dtype=fused.dtype)
                 h = oh @ fused  # (..., S, d)
+            elif ONEHOT_DECODE_PRECISION is not None:
+                # decode steps: exact one-hot contraction — see
+                # ONEHOT_DECODE_PRECISION above
+                oh = jax.nn.one_hot(ids, fused.shape[0], dtype=fused.dtype)
+                h = jnp.matmul(oh, fused, precision=ONEHOT_DECODE_PRECISION)
             else:
                 h = jnp.take(fused, ids, axis=0)  # (..., S, d)
             if self.config.mode == "cat":
