@@ -39,7 +39,8 @@ DIM_HEAD = 64
 def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=None,
                    return_train_inputs=False, return_config=False, dim=DIM,
                    emb_dim=EMB_DIM, depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
-                   enc_depth=2, mmd_depth=4, use_flash=False, attn_extra=None):
+                   enc_depth=2, mmd_depth=4, use_flash=False, attn_extra=None,
+                   dec_ff_extra=None):
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +84,8 @@ def build_flagship(batch, seq, num_tokens=None, token_values=None, max_segments=
                          "emb_norm": True, "use_abs_pos_emb": False, "max_seq_len": seq + 2,
                          "context_emb_mode": "cat", "style_emb_mode": "adanorm",
                          "transformer": {"_target_": "decoder", "depth": depth, "heads": heads,
-                                         "attention": attn, "feed_forward": ff},
+                                         "attention": attn,
+                                         "feed_forward": {**ff, **(dec_ff_extra or {})}},
                          "lm_head": {"_target_": "lm-tied"}},
     }
     model, model_cfg = MODELS.get("ScorePerformer")(**cfg)
@@ -614,9 +616,13 @@ def main():
     if not args.skip_scale:
         try:
             s_batch, s_seq = 8, 1024
+            # scale-tail levers (scripts/exp_scale_tail.py, round 5): bf16
+            # mask+softmax chain + single fused mask select, +21.5% at b8
+            # (200.5 -> 165.0 ms); recipe recipes/scoreperformer/scale_1024.yaml
             s_tps, s_step_s, s_loss, s_params = measure_tpu_train(
                 s_batch, s_seq, dim=1024, emb_dim=256, depth=8, heads=8,
                 dim_head=128,
+                attn_extra={"softmax_bf16": True, "fused_mask_select": True},
             )
             s_flops = train_flops_per_step(
                 s_batch, s_seq, dim=1024, emb_dim=256, dec_depth=8,
@@ -634,6 +640,8 @@ def main():
                 "model_tflops_per_step": round(s_flops / 1e12, 4),
                 "achieved_tflops": round(s_tflops, 2),
                 "mfu": round(s_tflops / V5E_PEAK_BF16_TFLOPS, 4),
+                "softmax_bf16": True,
+                "fused_mask_select": True,
             }
         except Exception as e:  # pragma: no cover - diagnostic path
             scale = {"error": f"{type(e).__name__}: {e}"}

@@ -6,12 +6,19 @@ window, the generator must produce the notes whose onsets fall inside the
 next 0.2 s of performance time. The SLO is wall < window — the generator
 keeps up with real time.
 
-This drives ScorePerformerGenerator.generate_performance_notes at the
-FLAGSHIP architecture (dim 256, decoder depth 4, the bench.py config) over a
-long synthetic piece, measuring steady-state wall-clock per 0.2 s window
-(median / p95 / max after warmup). Results recorded in BASELINE.md round 4.
+This drives ScorePerformerGenerator.generate_performance_notes over a long
+synthetic piece, measuring steady-state wall-clock per 0.2 s window
+(median / p95 / max after warmup). Two regimes:
 
-Run on the TPU:  timeout 3000 python scripts/exp_streaming_slo.py
+  default:  the FLAGSHIP architecture (dim 256, decoder depth 4, the
+            bench.py config) — BASELINE.md round 4: median 38.8 ms.
+  --scale:  the scale_1024 serving regime (dim 1024, decoder depth 8,
+            dim_head 128, 226M params) — VERDICT r4 #5. Note the streaming
+            cache is batch-1 so the int8/bf16 KV levers are irrelevant
+            here (they pay at the batch-512 offline decode); the binding
+            term at this size is streaming the 226M fp32 params per block.
+
+Run on the TPU:  timeout 3000 python scripts/exp_streaming_slo.py [--scale]
 """
 import sys
 import time
@@ -24,40 +31,60 @@ WARMUP = 5
 MAX_SEQ = 256
 
 
-def flagship_cfg():
+def flagship_cfg(dim=256, emb_dim=128, enc_depth=2, mmd_depth=4, dec_depth=4,
+                 heads=4, dim_head=64, latent=(32, 20, 8, 4)):
     emb = {
-        "_target_": "simple", "emb_dims": 128, "mode": "cat", "emb_norm": True,
+        "_target_": "simple", "emb_dims": emb_dim, "mode": "cat", "emb_norm": True,
         "discrete": False, "continuous": True, "continuous_dense": True,
         "discrete_ids": [0, 1, 2, 3],
     }
-    attn = {"dim_head": 64, "one_kv_head": True,
+    attn = {"dim_head": dim_head, "one_kv_head": True,
             "alibi_pos_bias": True, "alibi_learned": True}
     ff = {"mult": 4, "glu": True, "swish": True}
     return {
-        "dim": 256, "tie_token_emb": True, "mode": "mixlm",
+        "dim": dim, "tie_token_emb": True, "mode": "mixlm",
         "score_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
                           "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
-                          "transformer": {"_target_": "encoder", "depth": 2, "heads": 4,
+                          "transformer": {"_target_": "encoder", "depth": enc_depth,
+                                          "heads": heads,
                                           "attention": attn, "feed_forward": ff}},
         "perf_encoder": {"token_embeddings": dict(emb), "emb_norm": True,
                          "use_abs_pos_emb": False, "max_seq_len": MAX_SEQ + 2,
-                         "latent_dim": [32, 20, 8, 4],
+                         "latent_dim": list(latent),
                          "aggregate_mode": ["mean", "bar_mean", "beat_mean", "onset_mean"],
                          "max_segments": 260, "hierarchical": True,
-                         "transformer": {"_target_": "encoder", "depth": 4, "heads": 4,
+                         "transformer": {"_target_": "encoder", "depth": mmd_depth,
+                                         "heads": heads,
                                          "attention": attn, "feed_forward": ff}},
         "perf_decoder": {"token_embeddings": {**emb, "_target_": "multi-seq",
                                               "multiseq_mode": "post-cat"},
                          "emb_norm": True, "use_abs_pos_emb": False,
                          "max_seq_len": MAX_SEQ + 2,
                          "context_emb_mode": "cat", "style_emb_mode": "adanorm",
-                         "transformer": {"_target_": "decoder", "depth": 4, "heads": 4,
+                         "transformer": {"_target_": "decoder", "depth": dec_depth,
+                                         "heads": heads,
                                          "attention": attn, "feed_forward": ff},
                          "lm_head": {"_target_": "lm-tied"}},
     }
 
 
+def scale_cfg():
+    """The scale_1024 recipe's architecture (recipes/scoreperformer/
+    scale_1024.yaml): dim 1024, enc 4 / mmd 6 / dec 8, heads 8,
+    dim_head 128, emb 256, latents (64, 40, 16, 8) — ~226M params."""
+    return flagship_cfg(dim=1024, emb_dim=256, enc_depth=4, mmd_depth=6,
+                        dec_depth=8, heads=8, dim_head=128,
+                        latent=(64, 40, 16, 8))
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", action="store_true",
+                    help="dim-1024 serving regime (scale_1024.yaml arch)")
+    args = ap.parse_args()
+
     import jax
 
     from scoreperformer_tpu.utils.cache import enable_compile_cache
@@ -96,8 +123,9 @@ def main():
         mask_ignore_token_ids=[0, 1, 2, 3],
         mask_ignore_token_dims=[0, 1, 2, 4, 6, 7, 8, 9],
     )
-    cfg = inject_data_config(flagship_cfg(), dataset)
+    cfg = inject_data_config(scale_cfg() if args.scale else flagship_cfg(), dataset)
     model, _ = MODELS.get("ScorePerformer")(**cfg)
+    print(f"regime: {'scale_1024' if args.scale else 'flagship'}", flush=True)
 
     import jax.numpy as jnp
 
