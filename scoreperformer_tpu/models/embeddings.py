@@ -28,13 +28,14 @@ from ..configs import ModuleConfig
 # of a 130 ms device step (the single largest non-matmul item), while the
 # one-hot contraction and its transpose both run on the MXU (the same trade
 # the MMD segment aggregation already won with). Single-token decode steps
-# (seq_len == 1) keep the gather by default: it is the bit-parity-tested
-# decode program, and the TPU one-hot alternative routes the fp32 table
-# through the MXU's bf16 inputs (token agreement 0.98 vs the gather — valid
-# samples, different trajectory). Set ONEHOT_DECODE_PRECISION to
-# jax.lax.Precision.DEFAULT to take the measured sampled-decode win
-# (scripts/exp_decode_onehot{,2}.py, BASELINE.md round 5); HIGHEST was
-# measured SLOWER than the gather and still not bit-exact — don't re-try.
+# (seq_len == 1) keep the gather: it is the bit-parity-tested decode
+# program, and the one-hot alternative is REFUTED as a decode win — the
+# first back-to-back A/B runs showed +3.3%/+7.8% sampled, but the
+# interleaved A/B (scripts/exp_decode_onehot2.py, BASELINE.md round 5)
+# measured median 0.999x: the apparent gain was tunnel clock drift. It is
+# also not bit-exact (routes the fp32 table through the MXU's bf16 inputs,
+# token agreement 0.98) and HIGHEST precision is slower still. The knob
+# below stays only so the experiment is re-runnable — don't re-try.
 ONEHOT_LOOKUP_MIN_SEQ = 2
 ONEHOT_DECODE_PRECISION = None
 
