@@ -64,16 +64,20 @@ class StreamingDecoder:
             method=lambda m, b, t: m.init_decoder_cache(b, t),
         )
 
-    def _consume_fn(self, caches, seq, masked, style, ctx, start):
+    def _consume_fn(self, variables, caches, seq, masked, style, ctx, start):
         """Consume `seq` (1, C, S) tokens at cache rows [start, start+C);
         returns (caches, logits at position start+C). masked/style/ctx are
-        the +1-aligned companions (entries for positions start+1..start+C)."""
-        dim = None
+        the +1-aligned companions (entries for positions start+1..start+C).
+
+        `variables` is a TRACED argument, never a closure constant: the
+        tunneled remote-compile helper serializes closure constants into the
+        compile request body, and a dim-1024 param tree (~0.9 GB fp32)
+        overflows it (HTTP 413)."""
 
         def body(carry, i):
             caches, _ = carry
             out = self.model.apply(
-                self.variables,
+                variables,
                 jax.lax.dynamic_slice_in_dim(seq, i, 1, 1),
                 masked_tokens=jax.lax.dynamic_slice_in_dim(masked, i, 1, 1),
                 style_embeddings=(
@@ -95,7 +99,7 @@ class StreamingDecoder:
             body, (caches, hidden0), jnp.arange(seq.shape[1])
         )
         logits = self.model.apply(
-            self.variables, hidden, method=lambda m, h: m.perf_decoder.apply_lm_head(h)
+            variables, hidden, method=lambda m, h: m.perf_decoder.apply_lm_head(h)
         )
         return caches, logits
 
@@ -131,7 +135,7 @@ class StreamingDecoder:
             style_c = jnp.asarray(style[None, j + 1 : j + C + 1]) if style is not None else None
             ctx_c = jnp.asarray(context[None, j + 1 : j + C + 1]) if context is not None else None
             self.caches, logits = self._consume(
-                self.caches, seq, masked, style_c, ctx_c, j
+                self.variables, self.caches, seq, masked, style_c, ctx_c, j
             )
             self.consumed += C
         return logits
@@ -158,12 +162,14 @@ class StreamingDecoder:
                         filter_fn):
         from ..models.wrappers import _stream_order
 
-        model, variables = self.model, self.variables
+        model = self.model
         filter_kwargs = dict(filter_kwargs or {})
         n_streams = len(_stream_order(model))
 
-        def block_fn(caches, prev_row, blk_tokens, blk_masked, blk_style,
-                     blk_ctx, start, note_base, rng, temperature):
+        # `variables` is a traced argument (not a closure constant) for the
+        # same remote-compile payload reason as _consume_fn
+        def block_fn(variables, caches, prev_row, blk_tokens, blk_masked,
+                     blk_style, blk_ctx, start, note_base, rng, temperature):
             # prev_row: (1, S) the already-known row at position first-1;
             # blk_*: (1, n_pad, ...) rows first..first+n_pad-1 (+1-aligned
             # companions of the consumed rows); start = first - 1;
@@ -271,6 +277,7 @@ class StreamingDecoder:
             self._block_fns[key] = fn
 
         self.caches, rows = fn(
+            self.variables,
             self.caches,
             jnp.asarray(tokens[None, first - 1]),
             pad(tokens, n_pad),
