@@ -51,10 +51,17 @@ class StreamingDecoder:
 
         self._consume = jax.jit(self._consume_fn)
         self._block_fns: Dict = {}
+        # measurement counters (cheap, reset-free): consumed token count,
+        # block-decode calls, and block refusals (bucket would overrun the
+        # cache -> caller takes the per-note fallback). Used by the SLO
+        # scripts to attribute window wall time.
+        self.stats = {"consume_calls": 0, "consumed_tokens": 0,
+                      "block_calls": 0, "block_refusals": 0, "resets": 0}
 
     def reset(self):
         self.caches = None
         self.consumed = 0
+        self.stats["resets"] += 1
 
     def _init_cache(self):
         return self.model.apply(
@@ -138,6 +145,8 @@ class StreamingDecoder:
                 self.variables, self.caches, seq, masked, style_c, ctx_c, j
             )
             self.consumed += C
+            self.stats["consume_calls"] += 1
+            self.stats["consumed_tokens"] += C
         return logits
 
     def rollback(self, position: int):
@@ -251,7 +260,9 @@ class StreamingDecoder:
 
         n_pad = next((b for b in self.BLOCK_BUCKETS if b >= n), None)
         if n_pad is None or (first - 1) + n_pad > self.max_context_len:
+            self.stats["block_refusals"] += 1
             return None
+        self.stats["block_calls"] += 1
 
         def pad(a, width):
             if a is None:

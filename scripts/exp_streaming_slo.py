@@ -151,6 +151,7 @@ def main():
     clock = 0.0
     walls, notes_per_window = [], []
     rng = jax.random.PRNGKey(3)
+    prev_stats = dict(gen._decoder.stats)
     for w in range(N_WINDOWS):
         rng, wrng = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -166,7 +167,18 @@ def main():
         walls.append(wall)
         notes_per_window.append(n)
         if w < 8 or wall > WINDOW:
-            print(f"window {w:3d}: wall {wall * 1e3:7.1f} ms, {n} notes", flush=True)
+            st = dict(gen._decoder.stats)
+            d = {k: st[k] - prev_stats.get(k, 0) for k in st}
+            prev_stats = st
+            print(
+                f"window {w:3d}: wall {wall * 1e3:7.1f} ms, {n} notes  "
+                f"[consume {d['consumed_tokens']} tok/{d['consume_calls']} "
+                f"calls, block {d['block_calls']}, refusals "
+                f"{d['block_refusals']}, resets {d['resets']}]",
+                flush=True,
+            )
+        else:
+            prev_stats = dict(gen._decoder.stats)
 
     steady = np.asarray(walls[WARMUP:])
     n_steady = np.asarray(notes_per_window[WARMUP:])
