@@ -245,29 +245,47 @@ class StreamingDecoder:
     ):
         """Decode rows [first, first+n) of `tokens` in one compiled scan.
 
-        Catches the cache up to row first-1 (async per-token consumes), runs
-        the block, advances `consumed` past the real rows (padded bucket rows
-        are stale-but-masked, same semantics as rollback). Returns (n, S)
-        decoded rows as numpy, or None when the padded bucket would wrap the
-        ring cache (caller falls back to the per-note path)."""
+        Catches the cache up to the block start (async per-token consumes),
+        runs the block, advances `consumed` past the real rows (padded bucket
+        rows are stale-but-masked, same semantics as rollback). Returns
+        (n, S) decoded rows as numpy, or None when the group is larger than
+        every bucket (caller falls back to the per-note path).
+
+        Near the cache capacity the bucket is LEFT-ALIGNED over already-
+        decoded rows instead of refused: re-feeding a known row re-writes its
+        K/V rows bit-identically (the cache write depends only on the row
+        content, which is unchanged) and its re-sampled streams are discarded
+        by the `where(row == MASK, ...)` select, so the block stays the fast
+        path all the way to the cap. Before this, groups decoded within
+        bucket-distance of the cap fell back to the per-note path (one ~25 ms
+        tunnel round-trip per note) — the dominant cost of every post-
+        window-shift SLO violation at the dim-1024 serving regime."""
         if self.caches is None:
             self.caches = self._init_cache()
             self.consumed = 0
         if self.consumed >= first:
             self.consumed = max(0, first - 1)
-        if self.consumed < first - 1:
-            self._consume_to(tokens, masked_tokens, style, context, first - 1)
 
         n_pad = next((b for b in self.BLOCK_BUCKETS if b >= n), None)
-        if n_pad is None or (first - 1) + n_pad > self.max_context_len:
+        if n_pad is None:
             self.stats["block_refusals"] += 1
             return None
+        # left-shift the bucket so its last row stays inside the cache;
+        # rows [first_eff, first) are already-known rows re-fed idempotently
+        lpad = max(0, (first - 1) + n_pad - self.max_context_len)
+        if lpad > n_pad - n or first - lpad < 1:
+            self.stats["block_refusals"] += 1
+            return None
+        first_eff = first - lpad
         self.stats["block_calls"] += 1
+
+        if self.consumed < first_eff - 1:
+            self._consume_to(tokens, masked_tokens, style, context, first_eff - 1)
 
         def pad(a, width):
             if a is None:
                 return None
-            a = np.asarray(a[first : first + n])
+            a = np.asarray(a[first_eff : first_eff + width])
             if a.shape[0] < width:
                 a = np.concatenate(
                     [a, np.repeat(a[-1:], width - a.shape[0], axis=0)], axis=0
@@ -290,18 +308,22 @@ class StreamingDecoder:
         self.caches, rows = fn(
             self.variables,
             self.caches,
-            jnp.asarray(tokens[None, first - 1]),
+            jnp.asarray(tokens[None, first_eff - 1]),
             pad(tokens, n_pad),
             pad(masked_tokens, n_pad),
             pad(style, n_pad),
             pad(context, n_pad),
-            first - 1,
-            note_base,
+            first_eff - 1,
+            # keys are fold_in(rng, note_base + k) over block rows k; shift
+            # the base so the NEW rows keep their absolute-note-index keys
+            # (re-fed known rows' keys don't matter — their samples are
+            # discarded by the where)
+            note_base - lpad,
             rng,
             jnp.float32(temperature),
         )
         self.consumed = first + n - 1  # padded tail rows are stale/masked
-        return np.asarray(jax.device_get(rows))[:n]
+        return np.asarray(jax.device_get(rows))[lpad : lpad + n]
 
 
 @dataclass

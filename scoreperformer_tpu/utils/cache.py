@@ -32,6 +32,15 @@ def _host_fingerprint() -> str:
         parts.append(jax.__version__)
     except Exception:
         pass
+    # XLA:CPU AOT entries also embed compile OPTIONS (e.g. the axon
+    # platform's +prefer-no-scatter/-gather): an entry written in a
+    # TPU-platform session fails feature validation when loaded by a pure
+    # JAX_PLATFORMS=cpu process on the SAME host. Key the directory by the
+    # flag/platform environment as well so modes never share entries.
+    import os
+
+    parts.append(os.environ.get("XLA_FLAGS", ""))
+    parts.append(os.environ.get("JAX_PLATFORMS", ""))
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 

@@ -12,7 +12,15 @@ def main():
     parser.add_argument("--eval-only", action="store_true")
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # sitecustomize force-registers the axon TPU platform; honor an explicit
+    # JAX_PLATFORMS=cpu the same way tests/conftest.py does so CPU training
+    # works without a TPU attached
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # persistent compile cache (crucial on remote-compile TPU platforms);
     # host-keyed so cross-host XLA:CPU AOT entries can't segfault on load
