@@ -185,6 +185,34 @@ class TestGenerator:
                     f"stream {s} produced id {gen[:, s].max()} >= vocab {size}"
                 )
 
+    def test_block_decode_never_refuses_near_capacity(self, generator):
+        """Near the cache capacity the bucket is left-aligned over already-
+        decoded rows instead of refused (refusal = per-note fallback, one
+        ~25 ms tunnel round-trip per note on a remote chip — the cause of
+        every post-window-shift SLO violation at the dim-1024 regime). With
+        cap 40 and 16-buckets, groups decode within bucket-distance of the
+        cap constantly: assert the block path held the whole run."""
+        import jax
+
+        generator.reset()
+        generator.prepare_performance_notes(0, overlay_bars=0.0)
+        clock = 0.0
+        for _ in range(6):
+            generator.generate_performance_notes(
+                start_time=clock, time_window=0.5, greedy=True,
+                rng=jax.random.PRNGKey(4), max_context_len=40,
+                block_size=16,
+            )
+            clock += 0.5
+            if generator.perf_data.reached_eos:
+                break
+        stats = generator._decoder.stats
+        assert stats["block_calls"] > 0
+        assert stats["block_refusals"] == 0, (
+            f"{stats['block_refusals']} refusals — groups fell back to the "
+            f"per-note path near the cache cap"
+        )
+
     def test_block_decode_matches_per_note_greedy(self, generator):
         """The device-side block decoder (one compiled scan + one host sync
         per block) must produce EXACTLY the per-note path's greedy stream."""
