@@ -30,16 +30,15 @@ from .messengers import IntermediateData, SPMuple2IntermediateData, SPMupleMesse
 class StreamingDecoder:
     """MixedLM decoder with a persistent static KV cache.
 
-    Tokens are consumed in bucketed chunks, each chunk one compiled
-    `lax.scan` call. Bucket policy is MEASURED, not assumed: on the tunneled
-    v5e-1, 246-token prefill took 0.42 s with per-token calls (jax's async
-    dispatch pipelines the tiny programs) but 2.1 s with 64-token scan calls
-    (~140 ms per remote invocation of the larger program), so the default is
-    per-token; set CHUNKS = (64, 8, 1) for transports where per-call latency
-    dominates instead.
+    Known tokens are consumed in bucketed chunks, each chunk ONE parallel
+    causal decode_step (see _consume_fn): a 64-row chunk costs roughly one
+    row's parameter traffic plus the O(C·cap) attend, so large chunks win at
+    every model size (measurements: BASELINE.md round 5 catch-up table).
+    Each bucket size compiles once; the tail is covered by the smaller
+    buckets.
     """
 
-    CHUNKS = (1,)
+    CHUNKS = (64, 8, 1)
 
     def __init__(self, model, variables, max_context_len: int, num_streams: int):
         self.model = model
@@ -56,7 +55,8 @@ class StreamingDecoder:
         # cache -> caller takes the per-note fallback). Used by the SLO
         # scripts to attribute window wall time.
         self.stats = {"consume_calls": 0, "consumed_tokens": 0,
-                      "block_calls": 0, "block_refusals": 0, "resets": 0}
+                      "block_calls": 0, "block_refusals": 0, "resets": 0,
+                      "consume_wall_s": 0.0, "block_wall_s": 0.0}
 
     def reset(self):
         self.caches = None
@@ -76,39 +76,37 @@ class StreamingDecoder:
         returns (caches, logits at position start+C). masked/style/ctx are
         the +1-aligned companions (entries for positions start+1..start+C).
 
+        PARALLEL PREFILL: all C rows are known tokens, so they go through
+        ONE causal decode_step (the cached attend writes KV rows
+        [start, start+C) and masks queries to key_pos <= pos_q) instead of a
+        C-step `lax.scan`. Identical math — row j's attend sees exactly the
+        rows < j either way — but the params stream through HBM once per
+        CALL, not once per TOKEN: at dim 1024 the sequential scan costs
+        ~8 ms/row (226M fp32 params per step); the parallel prefill makes a
+        64-row chunk one forward (~a single step's params traffic). This is
+        what turns the post-window-shift catch-up (~200 retained rows) from
+        a multi-second stall into a sub-window blip (BASELINE.md round 5).
+
         `variables` is a TRACED argument, never a closure constant: the
         tunneled remote-compile helper serializes closure constants into the
         compile request body, and a dim-1024 param tree (~0.9 GB fp32)
         overflows it (HTTP 413)."""
-
-        def body(carry, i):
-            caches, _ = carry
-            out = self.model.apply(
-                variables,
-                jax.lax.dynamic_slice_in_dim(seq, i, 1, 1),
-                masked_tokens=jax.lax.dynamic_slice_in_dim(masked, i, 1, 1),
-                style_embeddings=(
-                    jax.lax.dynamic_slice_in_dim(style, i, 1, 1)
-                    if style is not None else None
-                ),
-                context=(
-                    jax.lax.dynamic_slice_in_dim(ctx, i, 1, 1)
-                    if ctx is not None else None
-                ),
-                caches=caches,
-                cache_index=start + i,
-                method="decode_step",
-            )
-            return (out.caches, out.hidden_state[:, -1]), None
-
-        hidden0 = jnp.zeros((seq.shape[0], self.model.perf_decoder_dim))
-        (caches, hidden), _ = jax.lax.scan(
-            body, (caches, hidden0), jnp.arange(seq.shape[1])
+        out = self.model.apply(
+            variables,
+            seq,
+            masked_tokens=masked,
+            style_embeddings=style,
+            context=ctx,
+            caches=caches,
+            cache_index=start,
+            method="decode_step",
         )
         logits = self.model.apply(
-            variables, hidden, method=lambda m, h: m.perf_decoder.apply_lm_head(h)
+            variables,
+            out.hidden_state[:, -1],
+            method=lambda m, h: m.perf_decoder.apply_lm_head(h),
         )
-        return caches, logits
+        return out.caches, logits
 
     def predict(self, tokens, masked_tokens, style, context, position: int) -> Dict[str, np.ndarray]:
         """Consume final tokens up to `position`-1 and return logits for
@@ -132,6 +130,9 @@ class StreamingDecoder:
         """Consume token rows [consumed, position); returns the logits of the
         final consume call (logits for row `position`), or None when already
         caught up."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         logits = None
         while self.consumed < position:
             remaining = position - self.consumed
@@ -147,12 +148,48 @@ class StreamingDecoder:
             self.consumed += C
             self.stats["consume_calls"] += 1
             self.stats["consumed_tokens"] += C
+        self.stats["consume_wall_s"] += _time.perf_counter() - t0
         return logits
 
     def rollback(self, position: int):
         """Logical rollback: mark tokens from `position` as not consumed (the
         cache rows will simply be overwritten)."""
         self.consumed = min(self.consumed, position)
+
+    def warmup(self, style_dim=None, ctx_dim=None, *, greedy=False,
+               temperature=1.0, filter_kwargs=None, mask_cols=(),
+               filter_fn=top_k):
+        """Pre-compile (or load from the persistent compile cache) every
+        decode-path program: one consume call per CHUNKS bucket and one
+        block call per BLOCK_BUCKETS size, against zero-filled inputs.
+
+        Without this, the first real-time window that reaches a new bucket
+        size pays that program's compile/load INSIDE its wall-clock budget —
+        measured as ~5-7 s one-off window spikes at both serving regimes
+        (BASELINE.md round 5 SLO traces). Content of the warmup rows is
+        irrelevant; only shapes/dtypes key the programs."""
+        T = self.max_context_len
+        toks = np.zeros((T + 2, self.num_streams), dtype=np.int64)
+        style = (
+            np.zeros((T + 2, style_dim), np.float32) if style_dim else None
+        )
+        ctx = np.zeros((T + 2, ctx_dim), np.float32) if ctx_dim else None
+        self.caches = self._init_cache()
+        self.consumed = 0
+        # consuming to sum(distinct buckets) exercises each bucket exactly
+        # once (the greedy bucket choice peels them largest-first)
+        self._consume_to(toks, toks, style, ctx,
+                         min(sum(set(self.CHUNKS)), T - 1))
+        rng = jax.random.PRNGKey(0)
+        for b in self.BLOCK_BUCKETS:
+            if b + 1 > T:
+                continue
+            self.decode_block(
+                toks, toks, style, ctx, 1, b, 0, rng, greedy, temperature,
+                filter_kwargs, tuple(mask_cols), filter_fn,
+            )
+        jax.block_until_ready(self.caches)
+        self.reset()
 
     # ---- block decode: sample ON DEVICE, one host sync per block ----
     #
@@ -305,6 +342,9 @@ class StreamingDecoder:
             )
             self._block_fns[key] = fn
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.caches, rows = fn(
             self.variables,
             self.caches,
@@ -323,7 +363,9 @@ class StreamingDecoder:
             jnp.float32(temperature),
         )
         self.consumed = first + n - 1  # padded tail rows are stale/masked
-        return np.asarray(jax.device_get(rows))[lpad : lpad + n]
+        out = np.asarray(jax.device_get(rows))[lpad : lpad + n]
+        self.stats["block_wall_s"] += _time.perf_counter() - t0
+        return out
 
 
 @dataclass
@@ -359,6 +401,27 @@ class ScorePerformerGenerator:
         self.perf_data = PerformanceData()
         self._decoder: Optional[StreamingDecoder] = None
         self._last_window_start = 0
+
+        # the chunked encoder pass runs once per window chunk with collator-
+        # padded (fixed) shapes: jit it ONCE here — an eager `model.apply`
+        # dispatch is minutes-slow through the tunneled remote-compile
+        # platform (prepare measured 874 s eager -> seconds jitted).
+        # `variables` is a traced argument, not a closure constant, to keep
+        # the compile-request payload small at dim >= 1024 (HTTP 413).
+        self._encode_jit = jax.jit(
+            lambda variables, perf, perf_mask, score, score_mask, bars, beats, onsets:
+            self.model.apply(
+                variables, perf, perf_mask, score, score_mask, bars, beats,
+                onsets, method="encode_embeddings",
+                rngs={"mmd": jax.random.PRNGKey(0)},
+            )
+        )
+        self._latents_jit = jax.jit(
+            lambda variables, emb, bars, beats, onsets: self.model.apply(
+                variables, emb, bars=bars, beats=beats, onsets=onsets,
+                method=lambda m, e, **kw: m.perf_encoder.embeddings_to_latents(e, **kw),
+            )
+        )
 
     def reset(self):
         self.perf_data = PerformanceData()
@@ -452,7 +515,7 @@ class ScorePerformerGenerator:
             inputs["score"][0, first_note_idx:last_note_idx, bar_col] -= shift
             inputs["perf"][0, first_note_idx:last_perf_idx, bar_col] -= shift
 
-            score_emb, perf_emb, _ = self.model.apply(
+            score_emb, perf_emb, _ = self._encode_jit(
                 self.variables,
                 jnp.asarray(inputs["perf"]),
                 jnp.asarray(inputs["perf_mask"]),
@@ -461,8 +524,6 @@ class ScorePerformerGenerator:
                 jnp.asarray(inputs["bars"]),
                 jnp.asarray(inputs["beats"]),
                 jnp.asarray(inputs["onsets"]),
-                method="encode_embeddings",
-                rngs={"mmd": jax.random.PRNGKey(0)},
             )
 
             n_notes = sample.score.shape[0]
@@ -502,18 +563,48 @@ class ScorePerformerGenerator:
                 jnp.asarray(np.concatenate([[s[0]], s, [s[-1]]]))[None]
                 for s in (bars, beats, onsets)
             )
-            latents = self.model.apply(
+            latents = self._latents_jit(
                 self.variables,
                 jnp.asarray(np.asarray(perf_embeddings)[None]),
-                bars=bars,
-                beats=beats,
-                onsets=onsets,
-                method=lambda m, e, **kw: m.perf_encoder.embeddings_to_latents(e, **kw),
+                bars,
+                beats,
+                onsets,
             )
 
         return score_embeddings, perf_embeddings, latents
 
     # ---- streaming generation (generators.py:106-295) ----
+
+    def warmup(
+        self,
+        max_context_len: int = 512,
+        *,
+        greedy: bool = False,
+        temperature: float = 1.0,
+        filter_fn: Callable = top_k,
+        filter_kwargs: Optional[Dict] = None,
+    ):
+        """Pre-compile the streaming decode programs (consume buckets + block
+        buckets) for the given sampling configuration, so no real-time window
+        pays a first-use compile/load. Call once after loading the model,
+        before the first `generate_performance_notes` window; pass the same
+        sampling arguments you will stream with (they key the compiled block
+        programs)."""
+        if self._decoder is None or self._decoder.max_context_len != max_context_len:
+            self._decoder = StreamingDecoder(
+                self.model, self.variables, max_context_len,
+                len(self.tokenizer.sizes),
+            )
+        cfg = self.model.config
+        style_dim = (
+            cfg.perf_encoder.embedding_dim if cfg.perf_encoder is not None else None
+        )
+        ctx_dim = cfg.dim if cfg.score_encoder is not None else None
+        self._decoder.warmup(
+            style_dim, ctx_dim, greedy=greedy, temperature=temperature,
+            filter_kwargs=filter_kwargs,
+            mask_cols=self._sampled_stream_cols(), filter_fn=filter_fn,
+        )
 
     def _sampled_stream_cols(self):
         """Static (column, stream-name) pairs of the sampled streams, for the

@@ -32,7 +32,7 @@ import numpy as np
 from exp_streaming_slo import MAX_SEQ, flagship_cfg, scale_cfg
 
 N_CATCHUP = 200
-REPEATS = 3
+REPEATS = 4
 
 
 def build(cfg_fn):
@@ -75,22 +75,35 @@ def build(cfg_fn):
     # real token rows from the dataset as the catch-up content
     perf = np.asarray(sample.perf)
     rows = np.concatenate([perf] * (N_CATCHUP // perf.shape[0] + 2))[: N_CATCHUP + 8]
-    return model, variables, rows
+    # the decoder cats context embeddings and adanorm-conditions on style
+    # (context_emb_mode="cat", style_emb_mode="adanorm") — synthesize rows
+    # at model dim; content is irrelevant to the timing
+    rs = np.random.RandomState(0)
+    style_dim = int(sum(cfg["perf_encoder"]["latent_dim"]))  # MMD embedding_dim
+    style = rs.randn(rows.shape[0], style_dim).astype(np.float32) * 0.02
+    ctx = rs.randn(rows.shape[0], cfg["dim"]).astype(np.float32) * 0.02
+    return model, variables, rows, style, ctx
 
 
-def time_catchup(model, variables, rows, chunks, label):
+def time_catchup(model, variables, rows, style, ctx, chunks, label):
     from scoreperformer_tpu.inference.generator import StreamingDecoder
 
     n_streams = rows.shape[1]
     masked = rows.copy()
     walls = []
+    # ONE decoder reused across reps, as the serving path does: a fresh
+    # decoder per rep re-pays the per-instance jit wrapper's executable
+    # load (~0.5-2 s from the persistent cache), which the real generator
+    # pays once per process, not once per window shift
+    dec = StreamingDecoder(model, variables, MAX_SEQ, n_streams)
+    dec.CHUNKS = chunks  # instance attr shadows the class default
     for r in range(REPEATS):
-        dec = StreamingDecoder(model, variables, MAX_SEQ, n_streams)
-        dec.CHUNKS = chunks  # instance attr shadows the class default
+        dec.reset()
         dec.caches = dec._init_cache()
+        dec.consumed = 0
         # warm the programs (first call compiles; compile excluded from rep>0)
         t0 = time.perf_counter()
-        dec._consume_to(rows, masked, None, None, N_CATCHUP)
+        dec._consume_to(rows, masked, style, ctx, N_CATCHUP)
         jax.block_until_ready(dec.caches)
         walls.append(time.perf_counter() - t0)
         print(f"  {label} rep{r}: {walls[-1] * 1e3:8.1f} ms "
@@ -105,9 +118,11 @@ def main():
     print(f"catch-up of {N_CATCHUP} rows, max_context {MAX_SEQ}", flush=True)
     for name, cfg_fn in (("flagship", flagship_cfg), ("scale_1024", scale_cfg)):
         print(f"== {name} ==", flush=True)
-        model, variables, rows = build(cfg_fn)
-        time_catchup(model, variables, rows, (1,), f"{name}_pertoken")
-        time_catchup(model, variables, rows, (64, 8, 1), f"{name}_chunk64")
+        model, variables, rows, style, ctx = build(cfg_fn)
+        time_catchup(model, variables, rows, style, ctx, (1,), f"{name}_pertoken")
+        time_catchup(model, variables, rows, style, ctx, (64, 8, 1), f"{name}_chunk64")
+        time_catchup(model, variables, rows, style, ctx, (128, 64, 8, 1),
+                     f"{name}_chunk128")
 
 
 if __name__ == "__main__":

@@ -147,11 +147,14 @@ def main():
     t0 = time.time()
     gen.prepare_performance_notes(0, overlay_bars=0.0)
     print(f"prepare (encoders): {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    gen.warmup(max_context_len=MAX_SEQ, greedy=False, temperature=1.0)
+    print(f"warmup (decode programs): {time.time() - t0:.1f}s", flush=True)
 
     clock = 0.0
     walls, notes_per_window = [], []
     rng = jax.random.PRNGKey(3)
-    prev_stats = dict(gen._decoder.stats)
+    prev_stats = dict(gen._decoder.stats) if gen._decoder is not None else {}
     for w in range(N_WINDOWS):
         rng, wrng = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -173,8 +176,9 @@ def main():
             print(
                 f"window {w:3d}: wall {wall * 1e3:7.1f} ms, {n} notes  "
                 f"[consume {d['consumed_tokens']} tok/{d['consume_calls']} "
-                f"calls, block {d['block_calls']}, refusals "
-                f"{d['block_refusals']}, resets {d['resets']}]",
+                f"calls {d.get('consume_wall_s', 0.0) * 1e3:.0f} ms, block "
+                f"{d['block_calls']} ({d.get('block_wall_s', 0.0) * 1e3:.0f} "
+                f"ms), refusals {d['block_refusals']}, resets {d['resets']}]",
                 flush=True,
             )
         else:

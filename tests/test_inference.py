@@ -238,6 +238,46 @@ class TestGenerator:
         assert per_note.shape == block.shape
         np.testing.assert_array_equal(per_note, block)
 
+    def test_warmup_preserves_generation(self, generator):
+        """warmup() pre-compiles every consume/block bucket program against
+        zero-filled rows; it must leave the decoder logically fresh so the
+        subsequent stream is bit-identical to an un-warmed run, and it must
+        not refuse any bucket."""
+        import jax
+
+        def run(warm):
+            generator.reset()
+            generator.prepare_performance_notes(0, overlay_bars=0.0)
+            if warm:
+                # the module-scoped fixture may carry a decoder from earlier
+                # tests — assert on DELTAS, not absolutes
+                before = (
+                    dict(generator._decoder.stats)
+                    if generator._decoder is not None
+                    else {"block_refusals": 0}
+                )
+                generator.warmup(max_context_len=40, greedy=True)
+                after = generator._decoder.stats
+                assert after["block_refusals"] == before.get("block_refusals", 0)
+                # every block bucket that fits the capacity has a compiled fn
+                fits = [b for b in generator._decoder.BLOCK_BUCKETS if b + 1 <= 40]
+                keys = {k[0] for k in generator._decoder._block_fns}
+                assert set(fits) <= keys
+            clock = 0.0
+            for _ in range(4):
+                generator.generate_performance_notes(
+                    start_time=clock, time_window=0.5, greedy=True,
+                    rng=jax.random.PRNGKey(4), max_context_len=40,
+                )
+                clock += 0.5
+                if generator.perf_data.reached_eos:
+                    break
+            return generator.perf_data.gen_seq.copy()
+
+        cold = run(warm=False)
+        warm = run(warm=True)
+        np.testing.assert_array_equal(cold, warm)
+
     def test_block_decode_matches_per_note_sampled(self, generator):
         """SAMPLED parity between the paths: both derive per-note keys as
         fold_in(window_rng, absolute_note_index) then split over all logit
