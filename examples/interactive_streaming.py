@@ -90,6 +90,9 @@ def main():
     # encode once, then stream window by window
     generator.reset()
     generator.prepare_performance_notes(0, overlay_bars=0.0)
+    # pre-compile every decode-bucket program so no real-time window pays a
+    # first-use compile (pass the same sampling config you stream with)
+    generator.warmup(max_context_len=48, greedy=True)
     clock = 0.0
     total_notes = 0
     for w in range(args.windows):

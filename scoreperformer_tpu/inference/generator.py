@@ -34,11 +34,14 @@ class StreamingDecoder:
     causal decode_step (see _consume_fn): a 64-row chunk costs roughly one
     row's parameter traffic plus the O(C·cap) attend, so large chunks win at
     every model size (measurements: BASELINE.md round 5 catch-up table).
-    Each bucket size compiles once; the tail is covered by the smaller
-    buckets.
+    Each bucket size compiles once; when the caller does not need the
+    returned logits, the TAIL chunk is padded UP to one bucket so any
+    catch-up is at most two dispatches — on the tunneled chip the per-window
+    cost at the context cap is dispatch-count-bound, not FLOPs-bound
+    (BASELINE.md round 5 SLO breakdown).
     """
 
-    CHUNKS = (64, 8, 1)
+    CHUNKS = (128, 64, 8, 1)
 
     def __init__(self, model, variables, max_context_len: int, num_streams: int):
         self.model = model
@@ -126,28 +129,56 @@ class StreamingDecoder:
 
         return self._consume_to(tokens, masked_tokens, style, context, position)
 
-    def _consume_to(self, tokens, masked_tokens, style, context, position):
+    def _consume_to(self, tokens, masked_tokens, style, context, position,
+                    need_logits=True):
         """Consume token rows [consumed, position); returns the logits of the
         final consume call (logits for row `position`), or None when already
-        caught up."""
+        caught up.
+
+        With `need_logits=False` the tail chunk is PADDED UP to the smallest
+        bucket that fits the cache (repeating the last row), so a full
+        catch-up is at most two dispatches. The padded rows write garbage
+        K/V at cache indices [position, j+C) — safe because a cache row is
+        only ever read by queries at positions >= its index, and every such
+        query belongs to a later consume/block pass that re-writes the row
+        first (queries only run at the write frontier). The returned logits
+        would belong to the padded tail, so they are only valid (and only
+        computed exactly) when need_logits=True."""
         import time as _time
 
         t0 = _time.perf_counter()
         logits = None
         while self.consumed < position:
             remaining = position - self.consumed
-            C = next(c for c in self.CHUNKS if c <= remaining)
             j = self.consumed
-            seq = jnp.asarray(tokens[None, j : j + C])
-            masked = jnp.asarray(masked_tokens[None, j + 1 : j + C + 1])
-            style_c = jnp.asarray(style[None, j + 1 : j + C + 1]) if style is not None else None
-            ctx_c = jnp.asarray(context[None, j + 1 : j + C + 1]) if context is not None else None
+            C = next(c for c in self.CHUNKS if c <= remaining)
+            real = C
+            if not need_logits:
+                # smallest bucket >= remaining whose rows stay inside the
+                # cache; CHUNKS is descending, so scan from the small end
+                for b in reversed(self.CHUNKS):
+                    if b >= remaining and j + b <= self.max_context_len:
+                        C, real = b, remaining
+                        break
+
+            def chunk(a, lo):
+                if a is None:
+                    return None
+                a = np.asarray(a[lo : lo + C])
+                if a.shape[0] < C:
+                    a = np.concatenate(
+                        [a, np.repeat(a[-1:], C - a.shape[0], axis=0)], axis=0
+                    )
+                return jnp.asarray(a[None])
+
             self.caches, logits = self._consume(
-                self.variables, self.caches, seq, masked, style_c, ctx_c, j
+                self.variables, self.caches, chunk(tokens, j),
+                chunk(masked_tokens, j + 1), chunk(style, j + 1),
+                chunk(context, j + 1), j,
             )
-            self.consumed += C
+            self.consumed += real
             self.stats["consume_calls"] += 1
-            self.stats["consumed_tokens"] += C
+            self.stats["consumed_tokens"] += real
         self.stats["consume_wall_s"] += _time.perf_counter() - t0
         return logits
 
@@ -317,7 +348,10 @@ class StreamingDecoder:
         self.stats["block_calls"] += 1
 
         if self.consumed < first_eff - 1:
-            self._consume_to(tokens, masked_tokens, style, context, first_eff - 1)
+            # the block re-feeds from row first_eff-1, so the catch-up's
+            # final logits are unused -> padded (fewest-dispatch) chunks
+            self._consume_to(tokens, masked_tokens, style, context,
+                             first_eff - 1, need_logits=False)
 
         def pad(a, width):
             if a is None:

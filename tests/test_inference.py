@@ -348,13 +348,13 @@ class TestGenerator:
         orig = StreamingDecoder._consume_to
         positions = []
 
-        def spy(self, tokens, masked_tokens, style, context, position):
+        def spy(self, tokens, masked_tokens, style, context, position, **kw):
             positions.append(position)
             assert position <= self.max_context_len, (
                 f"consumed past KV capacity: position {position} > "
                 f"{self.max_context_len}"
             )
-            return orig(self, tokens, masked_tokens, style, context, position)
+            return orig(self, tokens, masked_tokens, style, context, position, **kw)
 
         monkeypatch.setattr(StreamingDecoder, "_consume_to", spy)
         generator.reset()
