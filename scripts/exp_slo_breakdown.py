@@ -47,7 +47,8 @@ def main():
     masked = rows.copy()
     # the sampled streams at the SLO config: all dims NOT mask-ignored by
     # the collator ([0,1,2,4,6,7,8,9]) -> {3, 5, 10, 11}
-    from scoreperformer_tpu.models.wrappers import MASK, _stream_order
+    from scoreperformer_tpu.models.wrappers import _stream_order
+    from scoreperformer_tpu.tokenizers import MASK
 
     keys = list(_stream_order(model))
     mask_cols = tuple((s, keys[s]) for s in (3, 5, 10, 11))
