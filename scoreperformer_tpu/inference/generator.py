@@ -244,7 +244,7 @@ class StreamingDecoder:
     # single transfer. N is bucketed so a handful of programs cover all
     # block lengths.
 
-    BLOCK_BUCKETS = (4, 8, 16, 32)
+    BLOCK_BUCKETS = (4, 8, 16, 32, 64)
 
     def _build_block_fn(self, n_pad, greedy, filter_kwargs, mask_cols,
                         filter_fn):
@@ -761,6 +761,20 @@ class ScorePerformerGenerator:
         tempo_host_refresh = isinstance(tok, SPMuple2) and tempo_col not in self.mask_dims
         use_block = block_size > 1 and not tempo_host_refresh
         sampled_cols = self._sampled_stream_cols() if use_block else None
+        # ADAPTIVE block sizing: each block dispatch costs a tunnel round
+        # trip, so dense windows (a fast run of 100+ notes) want few BIG
+        # blocks while sparse windows want small ones (a block decodes its
+        # full bucket speculatively — oversize means wasted sequential
+        # steps). Size each block from the score's predicted note count for
+        # the window; the per-note rng keys are partition-invariant
+        # (fold_in by absolute note index), so the block partition never
+        # changes the sampled stream — parity-tested either way.
+        n_est = 0
+        if use_block:
+            n_est = self.predict_number_of_notes(
+                start_time, time_window + time_window_overflow,
+                max_notes=2 * max(self._decoder.BLOCK_BUCKETS),
+            )
 
         while not self.perf_data.reached_eos:
             if use_block:
@@ -768,7 +782,11 @@ class ScorePerformerGenerator:
                 # the device scan — each step feeds the previous decoded row);
                 # bounded by half the context window so a block plus some
                 # retained context always fits the KV cache
-                eff_block = max(1, min(block_size, max_context_len // 2))
+                est_left = n_est - len(all_token_times)
+                eff = block_size if est_left <= 0 else max(
+                    4, min(est_left + 2, max(self._decoder.BLOCK_BUCKETS))
+                )
+                eff_block = max(1, min(eff, max_context_len // 2))
                 end = min(current_note_idx + eff_block, len(perf_notes))
                 new_notes = perf_notes[current_note_idx:end].copy()
                 eos_rows = np.where(new_notes[:, bar_col] == self.eos_token_id)[0]

@@ -29,7 +29,7 @@ import numpy as np
 from exp_streaming_slo import MAX_SEQ, flagship_cfg, scale_cfg
 from exp_scale_catchup import build
 
-RETAINED = 230
+RETAINED = 180  # build() materializes N_CATCHUP+8 = 208 rows
 BLOCK_N = 16
 REPS = 6
 
