@@ -782,9 +782,15 @@ class ScorePerformerGenerator:
                 # the device scan — each step feeds the previous decoded row);
                 # bounded by half the context window so a block plus some
                 # retained context always fits the KV cache
+                # SHRINK-ONLY: the estimate rides the model's own sampled
+                # tempo, which overshoots badly under an uncalibrated model —
+                # blocks sized ABOVE block_size were measured to double the
+                # shift cadence and waste 100s of ms of speculative scan
+                # steps per window at dim 1024 (BASELINE.md round 5); sizing
+                # BELOW block_size only trims real per-step cost
                 est_left = n_est - len(all_token_times)
                 eff = block_size if est_left <= 0 else max(
-                    4, min(est_left + 2, max(self._decoder.BLOCK_BUCKETS))
+                    4, min(est_left + 2, block_size)
                 )
                 eff_block = max(1, min(eff, max_context_len // 2))
                 end = min(current_note_idx + eff_block, len(perf_notes))
